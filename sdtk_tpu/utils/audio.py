@@ -1,0 +1,176 @@
+"""First-party audio IO: decode, resample, slice, encode.
+
+The reference delegates all audio handling to external CLIs — ffmpeg for
+segment extraction/concat (speechmatics_backend.py:231-281,
+speaker_samples:280-326), ffprobe for duration (speaker-catalog:120-137).
+This framework does it in-process: WAV parsing with numpy, polyphase
+resampling with scipy, float32 mono output ready for the device frontend.
+
+The canonical device format mirrors the reference's ``AudioProfile`` default
+(audio_profiles.py:12-29): 16 kHz mono 16-bit — here held as float32 in
+[-1, 1] at 16 kHz.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+TARGET_SR = 16000
+
+
+@dataclass(frozen=True)
+class AudioInfo:
+    """Container metadata (the ffprobe replacement)."""
+
+    sample_rate: int
+    channels: int
+    n_frames: int
+    duration: float
+    format: str
+
+
+class AudioFormatError(ValueError):
+    pass
+
+
+def _decode_wav(path: str | Path) -> tuple[np.ndarray, int]:
+    """Decode a WAV file to float32 (frames, channels) + sample rate.
+
+    Handles PCM 8/16/24/32-bit and IEEE float 32/64 via manual RIFF parsing
+    (the stdlib ``wave`` module rejects float WAVs).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise AudioFormatError(f"not a RIFF/WAVE file: {path}")
+
+    pos = 12
+    fmt = None
+    payload = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or payload is None:
+        raise AudioFormatError(f"missing fmt/data chunk: {path}")
+
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format == 0xFFFE and len(data) >= 2:  # WAVE_FORMAT_EXTENSIBLE
+        audio_format = 1  # assume PCM subformat; float ext is rare for us
+    if audio_format == 1:  # PCM
+        if bits == 16:
+            x = np.frombuffer(payload, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(payload, dtype="<i4").astype(np.float32) / 2147483648.0
+        elif bits == 8:
+            x = (np.frombuffer(payload, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 24:
+            raw = np.frombuffer(payload, dtype=np.uint8)
+            n = len(raw) // 3
+            raw = raw[: n * 3].reshape(n, 3)
+            vals = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            x = vals.astype(np.float32) / float(1 << 23)
+        else:
+            raise AudioFormatError(f"unsupported PCM bit depth {bits}: {path}")
+    elif audio_format == 3:  # IEEE float
+        dt = "<f4" if bits == 32 else "<f8"
+        x = np.frombuffer(payload, dtype=dt).astype(np.float32)
+    else:
+        raise AudioFormatError(f"unsupported WAV codec {audio_format}: {path}")
+
+    if channels > 1:
+        x = x[: (len(x) // channels) * channels].reshape(-1, channels)
+    else:
+        x = x.reshape(-1, 1)
+    return x, sample_rate
+
+
+def probe(path: str | Path) -> AudioInfo:
+    """Duration/format metadata (replaces ffprobe, speaker-catalog:120-137)."""
+    path = Path(path)
+    if path.suffix.lower() == ".wav":
+        x, sr = _decode_wav(path)
+        return AudioInfo(sr, x.shape[1], x.shape[0], x.shape[0] / sr, "wav")
+    raise AudioFormatError(f"unsupported container: {path.suffix} ({path})")
+
+
+def load_audio(
+    path: str | Path, target_sr: int = TARGET_SR, mono: bool = True
+) -> tuple[np.ndarray, int]:
+    """Decode → mono mixdown → resample to target rate. Returns (float32, sr)."""
+    path = Path(path)
+    if path.suffix.lower() != ".wav":
+        raise AudioFormatError(
+            f"unsupported container: {path.suffix} — transcode to WAV "
+            f"(no ffmpeg in this environment)"
+        )
+    x, sr = _decode_wav(path)
+    if mono:
+        x = x.mean(axis=1)
+    if target_sr and sr != target_sr:
+        x = resample(x, sr, target_sr)
+        sr = target_sr
+    return np.ascontiguousarray(x, dtype=np.float32), sr
+
+
+def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase resampling (the ffmpeg -ar replacement)."""
+    if sr_in == sr_out:
+        return x
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(sr_in, sr_out)
+    return resample_poly(x, sr_out // g, sr_in // g).astype(np.float32)
+
+
+def slice_segments(
+    x: np.ndarray, sr: int, segments: list[tuple[float, float]]
+) -> np.ndarray:
+    """Concatenate [start, end) second-ranges of a waveform — the in-process
+    equivalent of the reference's ffmpeg atrim+concat filter graph
+    (speechmatics_backend.py:231-281)."""
+    parts = []
+    n = len(x)
+    for start, end in segments:
+        a = max(0, int(round(start * sr)))
+        b = min(n, int(round(end * sr)))
+        if b > a:
+            parts.append(x[a:b])
+    if not parts:
+        return np.zeros(0, dtype=np.float32)
+    return np.concatenate(parts)
+
+
+def save_wav(path: str | Path, x: np.ndarray, sr: int = TARGET_SR) -> None:
+    """Write float32 [-1,1] mono/stereo to 16-bit PCM WAV."""
+    x = np.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    pcm = (np.clip(x, -1.0, 1.0) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(x.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    from .ioutil import atomic_write_bytes
+
+    atomic_write_bytes(path, buf.getvalue())
