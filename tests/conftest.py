@@ -7,13 +7,19 @@ Speechmatics cloud rather than calling it, evals/TESTING.md).
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before the jax backend initializes.  The environment's axon
+# sitecustomize pins jax_platforms=axon (real TPU via tunnel); tests override
+# to a virtual 8-device CPU platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path
