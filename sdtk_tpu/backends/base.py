@@ -1,0 +1,236 @@
+"""Embedding backend protocol + registry.
+
+Mirrors the reference ABC (base.py:22-200): ``enroll_speaker``,
+``identify_speaker``, ``verify_speaker``, ``embedding_dim``,
+``model_version``, plus the YAML/env-driven registry (base.py:212-304,
+``$SPEAKER_BACKENDS_CONFIG``).  The default threshold 0.354 is the
+reference's (speaker_detection:1501; base.py:136) — and unlike the
+Speechmatics backend, which ignored it (speechmatics_backend.py:376), the
+local cosine scorers honor it.
+
+New here: ``LocalEmbeddingBackend`` — any backend that can map a waveform
+to a dense vector gets enroll/identify/verify for free, implemented as
+batched cosine scoring against the profile matrix (sdtk_tpu.ops.cosine).
+"""
+
+from __future__ import annotations
+
+import importlib
+from abc import ABC, abstractmethod
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from .. import config
+
+DEFAULT_THRESHOLD = 0.354
+
+
+class EmbeddingBackend(ABC):
+    """Abstract speaker-embedding backend."""
+
+    @property
+    @abstractmethod
+    def name(self) -> str: ...
+
+    @property
+    def requires_api_key(self) -> bool:
+        return False
+
+    @property
+    @abstractmethod
+    def embedding_dim(self) -> int: ...
+
+    @property
+    def model_version(self) -> str:
+        return "unknown"
+
+    @abstractmethod
+    def enroll_speaker(
+        self,
+        audio_path: str | Path,
+        segments: list[tuple[float, float]] | None = None,
+    ) -> dict[str, Any]:
+        """Extract an enrollment embedding from (segments of) a recording.
+
+        Returns {"vector": np.ndarray | None, "external_id": str | None,
+        "model_version": str}.
+        """
+
+    @abstractmethod
+    def identify_speaker(
+        self,
+        audio_path: str | Path,
+        candidates: list[dict[str, Any]],
+        threshold: float = DEFAULT_THRESHOLD,
+        segments: list[tuple[float, float]] | None = None,
+    ) -> list[dict[str, Any]]:
+        """Match audio against candidate profiles.
+
+        Returns a list of {"speaker_id", "confidence", "similarity",
+        "embedding_id", "backend"} sorted by confidence, best first.
+        """
+
+    def verify_speaker(
+        self,
+        audio_path: str | Path,
+        profile: dict[str, Any],
+        threshold: float = DEFAULT_THRESHOLD,
+        segments: list[tuple[float, float]] | None = None,
+    ) -> dict[str, Any]:
+        """Default verify = identify against a single candidate
+        (reference base.py:153-180)."""
+        results = self.identify_speaker(audio_path, [profile], threshold, segments)
+        if results and results[0]["speaker_id"] == profile["id"]:
+            return {"match": True, "confidence": results[0]["confidence"]}
+        return {"match": False, "confidence": results[0]["confidence"] if results else 0.0}
+
+    def extract_segments_from_transcript(
+        self, transcript_data: dict[str, Any], speaker_label: str
+    ) -> list[tuple[float, float]]:
+        """Convenience passthrough (reference base.py:182-200)."""
+        from ..transcripts import extract_segments_as_tuples
+
+        return extract_segments_as_tuples(transcript_data, speaker_label)
+
+
+class LocalEmbeddingBackend(EmbeddingBackend):
+    """Backend with on-device (or at least in-process) embedding extraction.
+
+    Subclasses implement ``embed_waveform``; everything else — enrollment
+    pooling, cosine identify/verify against the profile matrix — is shared.
+    """
+
+    sample_rate: int = 16000
+
+    @abstractmethod
+    def embed_waveform(self, wav: np.ndarray) -> np.ndarray:
+        """float32 mono waveform @ self.sample_rate → (embedding_dim,)."""
+
+    # -- shared machinery ---------------------------------------------------
+
+    def _load(
+        self,
+        audio_path: str | Path,
+        segments: list[tuple[float, float]] | None,
+    ) -> np.ndarray:
+        from ..utils import audio as audio_util
+
+        wav, sr = audio_util.load_audio(audio_path, target_sr=self.sample_rate)
+        if segments:
+            wav = audio_util.slice_segments(wav, sr, segments)
+        if len(wav) < self.sample_rate // 2:  # pad ultra-short clips
+            wav = np.pad(wav, (0, self.sample_rate // 2 - len(wav)))
+        return wav
+
+    def enroll_speaker(self, audio_path, segments=None):
+        wav = self._load(audio_path, segments)
+        vec = np.asarray(self.embed_waveform(wav), dtype=np.float32)
+        return {
+            "vector": vec,
+            "external_id": None,
+            "model_version": self.model_version,
+        }
+
+    def identify_speaker(self, audio_path, candidates, threshold=DEFAULT_THRESHOLD,
+                         segments=None):
+        from ..ops.cosine import score_rows
+        from ..store.profiles import ProfileMatrix
+
+        pm = ProfileMatrix.build(self.name, speakers=candidates)
+        if len(pm) == 0:
+            return []
+        wav = self._load(audio_path, segments)
+        query = np.asarray(self.embed_waveform(wav), dtype=np.float32)
+        sims = score_rows(query[None, :], pm.matrix)[0]  # (N,)
+
+        # Best row per speaker, then threshold + sort (the reference returns
+        # one entry per matched speaker, speaker_detection:1083-1123).
+        best: dict[str, tuple[float, str]] = {}
+        for row, sim in zip(pm.rows, np.asarray(sims)):
+            sid = row["speaker_id"]
+            if sid not in best or sim > best[sid][0]:
+                best[sid] = (float(sim), row["embedding_id"])
+        out = [
+            {
+                "speaker_id": sid,
+                "similarity": sim,
+                "confidence": sim,
+                "embedding_id": emb_id,
+                "backend": self.name,
+            }
+            for sid, (sim, emb_id) in best.items()
+            if sim >= threshold
+        ]
+        out.sort(key=lambda r: r["confidence"], reverse=True)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Registry (reference base.py:212-304)
+# ---------------------------------------------------------------------------
+
+_DEFAULT_REGISTRY: dict[str, str] = {
+    "tpu": "sdtk_tpu.backends.tpu:TpuBackend",
+    "fake": "sdtk_tpu.backends.fake:FakeBackend",
+    "speechmatics": "sdtk_tpu.backends.speechmatics:SpeechmaticsBackend",
+}
+
+_registry_cache: dict[str, str] | None = None
+_instance_cache: dict[str, EmbeddingBackend] = {}
+
+
+def _load_registry() -> dict[str, str]:
+    global _registry_cache
+    if _registry_cache is not None:
+        return _registry_cache
+    registry = dict(_DEFAULT_REGISTRY)
+    cfg_path = config.backends_config_path()
+    if cfg_path and cfg_path.exists():
+        import yaml
+
+        with open(cfg_path) as f:
+            data = yaml.safe_load(f) or {}
+        for name, spec in (data.get("backends") or {}).items():
+            if isinstance(spec, str):
+                registry[name] = spec
+            elif isinstance(spec, dict) and "class" in spec:
+                registry[name] = spec["class"]
+    _registry_cache = registry
+    return registry
+
+
+def register_backend(name: str, target: str | EmbeddingBackend) -> None:
+    """Programmatic registration (plugin seam for tests/extensions)."""
+    if isinstance(target, EmbeddingBackend):
+        _instance_cache[name] = target
+        _load_registry()[name] = f"<instance:{name}>"
+    else:
+        _load_registry()[name] = target
+
+
+def get_backend(name: str | None = None, **kwargs: Any) -> EmbeddingBackend:
+    name = name or config.default_backend()
+    if name in _instance_cache:
+        return _instance_cache[name]
+    registry = _load_registry()
+    if name not in registry:
+        raise ValueError(
+            f"Unknown backend '{name}'. Available: {', '.join(sorted(registry))}"
+        )
+    module_name, _, cls_name = registry[name].partition(":")
+    module = importlib.import_module(module_name)
+    backend = getattr(module, cls_name)(**kwargs)
+    _instance_cache[name] = backend
+    return backend
+
+
+def list_backends() -> list[str]:
+    return sorted(_load_registry())
+
+
+def reload_backends_config() -> None:
+    global _registry_cache
+    _registry_cache = None
+    _instance_cache.clear()

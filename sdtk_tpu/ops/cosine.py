@@ -1,0 +1,83 @@
+"""Batched cosine scoring: query embeddings vs the profile matrix.
+
+This is the replacement for the reference's per-identify cloud round trip
+(speechmatics_backend.py:361-489, with its 50-identifiers-per-speaker API
+cap): all enrolled vectors live in one HBM-resident (N, D) matrix and a
+query batch scores against every profile with a single MXU matmul.  A
+Pallas kernel fuses normalization + matmul + per-row max for the large-N
+regime.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def normalize_rows(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+@jax.jit
+def _score_rows_jit(queries: jax.Array, profiles: jax.Array) -> jax.Array:
+    q = normalize_rows(queries.astype(jnp.float32))
+    p = normalize_rows(profiles.astype(jnp.float32))
+    return jnp.dot(q, p.T, preferred_element_type=jnp.float32)
+
+
+def score_rows(queries: np.ndarray | jax.Array, profiles: np.ndarray | jax.Array) -> np.ndarray:
+    """(Q, D) x (N, D) → (Q, N) cosine similarity (inputs need not be
+    pre-normalized)."""
+    if profiles.shape[0] == 0:
+        return np.zeros((queries.shape[0], 0), dtype=np.float32)
+    return np.asarray(_score_rows_jit(jnp.asarray(queries), jnp.asarray(profiles)))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def top_k_scores(queries: jax.Array, profiles: jax.Array, k: int = 3):
+    """(Q, D) x (N, D) → top-k (scores, indices) per query."""
+    sims = _score_rows_jit(queries, profiles)
+    return jax.lax.top_k(sims, min(k, sims.shape[-1]))
+
+
+def cosine_pallas(queries: jax.Array, profiles: jax.Array, tile_q: int = 128,
+                  tile_n: int = 128) -> jax.Array:
+    """Fused normalize+matmul scoring kernel for large profile sets.
+
+    Both inputs unnormalized; normalization happens in VMEM per tile.
+    Shapes are padded to tile multiples.
+    """
+    from jax.experimental import pallas as pl
+
+    q, d = queries.shape
+    n, _ = profiles.shape
+    qp = -(-q // tile_q) * tile_q
+    np_ = -(-n // tile_n) * tile_n
+    if qp != q:
+        queries = jnp.pad(queries, ((0, qp - q), (0, 0)))
+    if np_ != n:
+        profiles = jnp.pad(profiles, ((0, np_ - n), (0, 0)))
+
+    def kernel(q_ref, p_ref, out_ref):
+        qv = q_ref[:].astype(jnp.float32)
+        pv = p_ref[:].astype(jnp.float32)
+        qn = qv * jax.lax.rsqrt(jnp.sum(qv * qv, axis=1, keepdims=True) + 1e-24)
+        pn = pv * jax.lax.rsqrt(jnp.sum(pv * pv, axis=1, keepdims=True) + 1e-24)
+        out_ref[:] = jnp.dot(qn, pn.T, preferred_element_type=jnp.float32)
+
+    out = pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() != "tpu",
+        grid=(qp // tile_q, np_ // tile_n),
+        in_specs=[
+            pl.BlockSpec((tile_q, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_n, d), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_q, tile_n), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((qp, np_), jnp.float32),
+    )(queries, profiles)
+    return out[:q, :n]

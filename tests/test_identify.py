@@ -1,0 +1,150 @@
+"""End-to-end enroll→identify→verify through both local backends."""
+
+import numpy as np
+import pytest
+
+from sdtk_tpu.backends import get_backend, list_backends, reload_backends_config
+from sdtk_tpu.ops import cosine
+from sdtk_tpu.pipeline import identify as ID
+from sdtk_tpu.store import profiles as P
+
+from conftest import make_wav
+
+
+@pytest.fixture(autouse=True)
+def _fresh_registry():
+    reload_backends_config()
+    yield
+    reload_backends_config()
+
+
+def voice_wav(path, freq, seconds=4.0, seed=0):
+    """Synthetic 'voice': fundamental + harmonics, distinct per freq."""
+    import numpy as np
+
+    sr = 16000
+    t = np.arange(int(seconds * sr)) / sr
+    x = sum(
+        (0.5 / (k + 1)) * np.sin(2 * np.pi * freq * (k + 1) * t) for k in range(4)
+    )
+    x += 0.01 * np.random.default_rng(seed).standard_normal(len(t))
+    from sdtk_tpu.utils.audio import save_wav
+
+    save_wav(path, (0.5 * x / np.max(np.abs(x))).astype(np.float32), sr)
+    return path
+
+
+def test_registry():
+    assert {"tpu", "fake", "speechmatics"} <= set(list_backends())
+    fake = get_backend("fake")
+    assert fake.name == "fake"
+    with pytest.raises(ValueError):
+        get_backend("nope")
+
+
+def test_cosine_ops():
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    p = rng.standard_normal((6, 16)).astype(np.float32)
+    sims = cosine.score_rows(q, p)
+    # oracle
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    pn = p / np.linalg.norm(p, axis=1, keepdims=True)
+    np.testing.assert_allclose(sims, qn @ pn.T, atol=1e-5)
+    # pallas variant
+    import jax.numpy as jnp
+
+    sims2 = np.asarray(cosine.cosine_pallas(jnp.asarray(q), jnp.asarray(p)))
+    np.testing.assert_allclose(sims2, qn @ pn.T, atol=1e-5)
+
+
+def test_fake_backend_distinguishes_voices(speakers_dir, tmp_path):
+    alice1 = voice_wav(tmp_path / "alice1.wav", 220, seed=1)
+    alice2 = voice_wav(tmp_path / "alice2.wav", 220, seed=2)
+    bob1 = voice_wav(tmp_path / "bob1.wav", 520, seed=3)
+
+    fake = get_backend("fake")
+    ea1 = fake.embed_waveform(np.asarray(load(alice1)))
+    ea2 = fake.embed_waveform(np.asarray(load(alice2)))
+    eb = fake.embed_waveform(np.asarray(load(bob1)))
+    same = float(ea1 @ ea2)
+    diff = float(ea1 @ eb)
+    assert same > 0.95 and same > diff + 0.05
+
+
+def load(path):
+    from sdtk_tpu.utils.audio import load_audio
+
+    return load_audio(path)[0]
+
+
+def test_enroll_identify_verify_fake(speakers_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPEAKER_DETECTION_BACKEND", "fake")
+    alice1 = voice_wav(tmp_path / "a1.wav", 220, seed=1)
+    alice2 = voice_wav(tmp_path / "a2.wav", 220, seed=2)
+    bob1 = voice_wav(tmp_path / "b1.wav", 520, seed=3)
+    bob2 = voice_wav(tmp_path / "b2.wav", 520, seed=4)
+
+    rec = ID.enroll("alice", alice1, create_missing=True, name="Alice")
+    assert rec["vector_file"]
+    ID.enroll("bob", bob1, create_missing=True, name="Bob")
+
+    res = ID.identify(alice2)
+    assert res and res[0]["speaker_id"] == "alice"
+    assert res[0]["name"] == "Alice"
+    assert res[0]["confidence"] > 0.9
+    assert res[0]["backend"] == "fake"
+
+    res_b = ID.identify(bob2)
+    assert res_b and res_b[0]["speaker_id"] == "bob"
+
+    v = ID.verify("alice", alice2)
+    assert v["match"] and v["confidence"] > 0.9
+    # verify against wrong speaker: bob's audio shouldn't verify as alice
+    v2 = ID.verify("alice", bob2)
+    assert not v2["match"]
+
+
+def test_identify_tag_filter(speakers_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPEAKER_DETECTION_BACKEND", "fake")
+    a = voice_wav(tmp_path / "a.wav", 220, seed=1)
+    ID.enroll("alice", a, create_missing=True)
+    profile = P.load_speaker("alice")
+    profile["tags"] = ["team-x"]
+    P.save_speaker(profile)
+    assert ID.identify(a, tags=["team-x"])
+    assert ID.identify(a, tags=["other"]) == []
+
+
+def test_enroll_from_transcript_segments(speakers_dir, tmp_path, monkeypatch):
+    import json
+
+    monkeypatch.setenv("SPEAKER_DETECTION_BACKEND", "fake")
+    wav = voice_wav(tmp_path / "conv.wav", 220, seconds=6.0, seed=5)
+    tr = tmp_path / "t.json"
+    tr.write_text(json.dumps({"utterances": [
+        {"speaker": "S1", "start": 0, "end": 3000, "text": "hi"},
+        {"speaker": "S2", "start": 3000, "end": 6000, "text": "yo"},
+    ]}))
+    rec = ID.enroll("carol", wav, transcript=tr, speaker_label="S1",
+                    create_missing=True)
+    assert rec["source_segments"] == [{"start": 0.0, "end": 3.0}]
+
+
+def test_tpu_backend_end_to_end(speakers_dir, tmp_path, monkeypatch):
+    """Real device path (CPU-mesh here): enroll+identify with the ECAPA tower
+    at a small config."""
+    from sdtk_tpu.backends import register_backend
+    from sdtk_tpu.backends.tpu import TpuBackend
+
+    backend = TpuBackend(channels=64, max_windows=2)
+    register_backend("tpu-test", backend)
+    monkeypatch.setenv("SPEAKER_DETECTION_BACKEND", "tpu-test")
+
+    a1 = voice_wav(tmp_path / "ta1.wav", 220, seed=1)
+    a2 = voice_wav(tmp_path / "ta2.wav", 220, seed=2)
+    ID.enroll("alice", a1, create_missing=True)
+    assert backend.embedding_dim == 192
+    res = ID.identify(a2, threshold=-1.0)  # random-init model: no threshold
+    assert res and res[0]["speaker_id"] == "alice"
+    assert res[0]["trust_level"] == "low"
