@@ -1,0 +1,183 @@
+"""Spectral clustering on device: normalized Laplacian eigendecomposition,
+eigengap speaker counting, k-means in the spectral embedding.
+
+The eigensolve runs on-chip via ``jnp.linalg.eigh`` (XLA QR algorithm) —
+fine up to a few thousand windows; hour-scale meetings with tens of
+thousands of windows use the blocked subspace-iteration path
+(``topk_eigvecs_subspace``) which is pure matmul + QR and shards over the
+row axis.  k-means is a fixed-iteration ``lax.fori_loop`` — no
+data-dependent control flow under jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .affinity import cosine_affinity, refine_affinity
+
+
+@jax.jit
+def normalized_laplacian(aff: jax.Array) -> jax.Array:
+    d = jnp.maximum(aff.sum(axis=1), 1e-12)
+    d_inv_sqrt = jax.lax.rsqrt(d)
+    return jnp.eye(aff.shape[0]) - aff * d_inv_sqrt[:, None] * d_inv_sqrt[None, :]
+
+
+@partial(jax.jit, static_argnames=("max_speakers",))
+def eigengap_count(eigvals: jax.Array, max_speakers: int = 8) -> jax.Array:
+    """Estimate #speakers from the largest gap in the smallest Laplacian
+    eigenvalues (eigvals ascending)."""
+    k = min(max_speakers + 1, eigvals.shape[0])
+    gaps = eigvals[1:k] - eigvals[: k - 1]
+    return jnp.argmax(gaps) + 1
+
+
+def _kmeans_step(centers, x, k):
+    d2 = (
+        jnp.sum(x * x, axis=1, keepdims=True)
+        - 2.0 * x @ centers.T
+        + jnp.sum(centers * centers, axis=1)[None, :]
+    )
+    assign = jnp.argmin(d2, axis=1)
+    onehot = jax.nn.one_hot(assign, k, dtype=x.dtype)  # (N, k)
+    counts = jnp.maximum(onehot.sum(axis=0), 1e-6)
+    new_centers = (onehot.T @ x) / counts[:, None]
+    return new_centers, assign
+
+
+@partial(jax.jit, static_argnames=("k", "n_iters"))
+def kmeans(x: jax.Array, k: int, n_iters: int = 25, seed: int = 0) -> jax.Array:
+    """Fixed-iteration k-means; k-means++-lite init (greedy farthest)."""
+    n = x.shape[0]
+    # Deterministic farthest-point init.
+    first = 0
+    centers0 = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(x[first])
+
+    def init_body(i, carry):
+        centers, min_d2 = carry
+        d2 = jnp.sum((x - centers[i - 1]) ** 2, axis=1)
+        min_d2 = jnp.minimum(min_d2, d2)
+        nxt = jnp.argmax(min_d2)
+        centers = centers.at[i].set(x[nxt])
+        return centers, min_d2
+
+    centers, _ = jax.lax.fori_loop(
+        1, k, init_body, (centers0, jnp.full((n,), jnp.inf, x.dtype))
+    )
+
+    def body(_, carry):
+        centers, _ = carry
+        return _kmeans_step(centers, x, k)
+
+    centers, assign = jax.lax.fori_loop(
+        0, n_iters, body, (centers, jnp.zeros((n,), jnp.int32))
+    )
+    return assign
+
+
+@partial(jax.jit, static_argnames=("k", "n_iters", "block"))
+def topk_eigvecs_subspace(
+    lap: jax.Array, k: int, n_iters: int = 50, block: int = 0
+) -> tuple[jax.Array, jax.Array]:
+    """Smallest-k eigenpairs of a PSD matrix by subspace iteration on
+    (c·I − L): pure matmul + QR, shardable; for N where dense eigh is too
+    slow.  Returns (eigvals ascending, eigvecs (N, k))."""
+    n = lap.shape[0]
+    c = 2.0  # normalized Laplacian spectrum ⊂ [0, 2]
+    a = c * jnp.eye(n) - lap
+
+    # Oversampled subspace + squared operator per step accelerate
+    # separation of the tightly clustered small eigenvalues.
+    m = min(n, k + 8)
+    q = jax.random.normal(jax.random.PRNGKey(0), (n, m), lap.dtype)
+    q, _ = jnp.linalg.qr(q)
+
+    def body(_, q):
+        z = a @ (a @ q)
+        q, _ = jnp.linalg.qr(z)
+        return q
+
+    q = jax.lax.fori_loop(0, n_iters, body, q)
+    # Rayleigh-Ritz on the subspace.
+    t = q.T @ (a @ q)
+    w, s = jnp.linalg.eigh(t)  # ascending eigvals of A → descending of L
+    vecs = q @ s
+    lam = c - w  # eigenvalues of L, descending in w order
+    order = jnp.argsort(lam)
+    return lam[order][:k], (vecs[:, order])[:, :k]
+
+
+def spectral_cluster(
+    emb: np.ndarray | jax.Array,
+    n_speakers: int | None = None,
+    max_speakers: int = 8,
+    p_percentile: float = 0.95,
+    use_subspace: bool | None = None,
+) -> tuple[np.ndarray, int]:
+    """Full pipeline: embeddings → labels.
+
+    Returns (labels (N,), n_speakers).  ``n_speakers=None`` auto-estimates
+    via eigengap.
+    """
+    emb = jnp.asarray(emb)
+    n = emb.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int32), 0
+    if n == 1:
+        return np.zeros(1, dtype=np.int32), 1
+    max_speakers = min(max_speakers, n)
+
+    raw_aff = cosine_affinity(emb)
+    aff = refine_affinity(raw_aff, p_percentile=p_percentile)
+    lap = normalized_laplacian(aff)
+
+    if use_subspace is None:
+        use_subspace = n > 4096
+    if use_subspace:
+        eigvals, eigvecs = topk_eigvecs_subspace(lap, max_speakers + 1)
+    else:
+        eigvals, eigvecs = jnp.linalg.eigh(lap)
+
+    if n_speakers is None:
+        # Count speakers on the *unsparsified* Laplacian: row thresholding
+        # helps the clustering step but distorts the spectrum of tight
+        # single-cluster data (a k-NN graph has many small eigenvalues).
+        # Soft suppression (elementwise power) instead: keeps tight-blob
+        # connectivity intact (within-cluster affinity ≈ 1 is a fixed point)
+        # while pushing weaker cross-cluster edges toward zero
+        # (0.75⁸ ≈ 0.1, 0.5⁸ ≈ 0.004).
+        eye = jnp.eye(n, dtype=bool)
+        lite = jnp.where(eye, 1.0, raw_aff**8)
+        lap_lite = normalized_laplacian(lite)
+        if use_subspace:
+            count_vals, _ = topk_eigvecs_subspace(lap_lite, max_speakers + 1)
+        else:
+            count_vals = jnp.linalg.eigvalsh(lap_lite)
+        n_speakers = int(eigengap_count(count_vals, max_speakers))
+    n_speakers = max(1, min(n_speakers, max_speakers))
+    if n_speakers == 1:
+        return np.zeros(n, dtype=np.int32), 1
+
+    # Spectral embedding: first k eigenvectors, row-normalized.
+    spec = eigvecs[:, :n_speakers]
+    spec = spec / jnp.maximum(jnp.linalg.norm(spec, axis=1, keepdims=True), 1e-12)
+    labels = kmeans(spec, n_speakers)
+    return np.asarray(labels, dtype=np.int32), n_speakers
+
+
+def bench_cluster_fn(max_speakers: int = 8):
+    """Jitted fixed-k clustering stage for bench.py (device-only path)."""
+    @jax.jit
+    def run(emb):
+        aff = refine_affinity(cosine_affinity(emb))
+        lap = normalized_laplacian(aff)
+        _, eigvecs = jnp.linalg.eigh(lap)
+        spec = eigvecs[:, :max_speakers]
+        spec = spec / jnp.maximum(jnp.linalg.norm(spec, axis=1, keepdims=True), 1e-12)
+        return kmeans(spec, max_speakers)
+
+    return run

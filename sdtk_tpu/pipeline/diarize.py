@@ -1,0 +1,168 @@
+"""Full re-diarization of raw audio — beyond the reference toolkit, which
+trusts STT vendor labels (SURVEY.md §7 step 7; BASELINE.json config 3).
+
+Pipeline: waveform → energy VAD → sliding windows (1.5 s / 0.75 s hop) →
+batched device embeddings (chunked static shapes) → spectral clustering →
+merged speaker segments.  Output segments can be written as RTTM or used
+to build a Speechmatics-format transcript skeleton so the rest of the
+toolchain (assign/review/report) operates on our own diarization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from ..cluster.der import Segment, labels_to_segments
+from ..cluster.spectral import spectral_cluster
+
+
+@dataclass(frozen=True)
+class DiarizeConfig:
+    window_seconds: float = 1.5
+    hop_seconds: float = 0.75
+    sample_rate: int = 16000
+    max_speakers: int = 8
+    n_speakers: int | None = None  # None = eigengap auto
+    vad_threshold_db: float = -40.0  # relative to peak RMS
+    min_segment_seconds: float = 0.0
+    embed_chunk: int = 128  # windows per device batch (static shape)
+
+
+def energy_vad_mask(
+    wav: np.ndarray, sr: int, window: float, hop: float, threshold_db: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-window speech mask from RMS energy relative to the loudest
+    window.  Returns (starts_sec, keep_mask)."""
+    win = int(window * sr)
+    hop_n = int(hop * sr)
+    n = len(wav)
+    if n < win:
+        wav = np.pad(wav, (0, win - n))
+        n = win
+    n_win = 1 + (n - win) // hop_n
+    starts = np.arange(n_win) * hop_n
+    rms = np.empty(n_win, dtype=np.float64)
+    for i, s in enumerate(starts):
+        seg = wav[s : s + win]
+        rms[i] = np.sqrt(np.mean(seg.astype(np.float64) ** 2) + 1e-12)
+    ref = rms.max() + 1e-12
+    db = 20.0 * np.log10(rms / ref)
+    keep = db > threshold_db
+    if not keep.any():
+        keep[:] = True
+    return starts / sr, keep
+
+
+class Diarizer:
+    """Owns the embedding engine and the clustering config."""
+
+    def __init__(self, backend_name: str | None = None, cfg: DiarizeConfig = DiarizeConfig()):
+        from ..backends import get_backend
+
+        self.cfg = cfg
+        self.backend = get_backend(backend_name)
+
+    def _embed_windows(self, wav: np.ndarray, starts_sec: np.ndarray) -> np.ndarray:
+        """Embed all windows in fixed-size device batches."""
+        cfg = self.cfg
+        sr = cfg.sample_rate
+        win = int(cfg.window_seconds * sr)
+        n = len(wav)
+        chunk = cfg.embed_chunk
+
+        engine = getattr(self.backend, "engine", None)
+        out = []
+        for i in range(0, len(starts_sec), chunk):
+            batch_starts = starts_sec[i : i + chunk]
+            windows = np.zeros((chunk, win), dtype=np.float32)
+            lengths = np.full(chunk, win, dtype=np.int32)
+            for j, s in enumerate(batch_starts):
+                a = int(s * sr)
+                seg = wav[a : a + win]
+                windows[j, : len(seg)] = seg
+                lengths[j] = max(len(seg), 400)
+            if engine is not None:
+                emb = np.asarray(engine._embed_jit(windows, lengths))
+            else:  # non-device backend (e.g. fake): per-window embed
+                emb = np.stack(
+                    [self.backend.embed_waveform(w) for w in windows]
+                )
+            out.append(emb[: len(batch_starts)])
+        return np.concatenate(out, axis=0)
+
+    def diarize_waveform(self, wav: np.ndarray) -> dict[str, Any]:
+        cfg = self.cfg
+        starts, keep = energy_vad_mask(
+            wav, cfg.sample_rate, cfg.window_seconds, cfg.hop_seconds,
+            cfg.vad_threshold_db,
+        )
+        speech_starts = starts[keep]
+        if len(speech_starts) == 0:
+            return {"segments": [], "n_speakers": 0, "window_labels": []}
+
+        emb = self._embed_windows(wav, speech_starts)
+        labels, n_spk = spectral_cluster(
+            emb, n_speakers=cfg.n_speakers, max_speakers=cfg.max_speakers
+        )
+        segments = labels_to_segments(
+            labels, speech_starts, cfg.window_seconds, prefix="S"
+        )
+        # Relabel to S1..Sk in order of first appearance (the reference's
+        # label convention, e.g. transcripts use S1/S2 — SURVEY.md §2.2).
+        order: dict[str, str] = {}
+        renamed: list[Segment] = []
+        for s, e, lbl in segments:
+            if lbl not in order:
+                order[lbl] = f"S{len(order) + 1}"
+            renamed.append((s, e, order[lbl]))
+        if cfg.min_segment_seconds > 0:
+            renamed = [
+                (s, e, l) for s, e, l in renamed if e - s >= cfg.min_segment_seconds
+            ]
+        return {
+            "segments": renamed,
+            "n_speakers": n_spk,
+            "window_labels": labels.tolist(),
+            "window_starts": speech_starts.tolist(),
+        }
+
+    def diarize_file(self, audio_path: str | Path) -> dict[str, Any]:
+        from ..utils.audio import load_audio
+
+        wav, _ = load_audio(audio_path, target_sr=self.cfg.sample_rate)
+        result = self.diarize_waveform(wav)
+        result["audio_path"] = str(audio_path)
+        result["duration"] = len(wav) / self.cfg.sample_rate
+        return result
+
+
+def to_rttm(result: dict[str, Any], recording_id: str = "rec") -> str:
+    """Standard RTTM serialization of a diarization result."""
+    lines = []
+    for start, end, label in result["segments"]:
+        lines.append(
+            f"SPEAKER {recording_id} 1 {start:.3f} {end - start:.3f} "
+            f"<NA> <NA> {label} <NA> <NA>"
+        )
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def to_transcript_skeleton(result: dict[str, Any]) -> dict[str, Any]:
+    """Speechmatics-format transcript skeleton (no words, one pseudo-word
+    per segment) so diarization output feeds the assign/review tooling."""
+    items = []
+    for start, end, label in result["segments"]:
+        items.append(
+            {
+                "type": "word",
+                "start_time": float(start),
+                "end_time": float(end),
+                "speaker": label,
+                "alternatives": [{"content": "", "speaker": label}],
+            }
+        )
+    return {"results": items, "metadata": {"source": "sdtk_tpu.diarize"}}

@@ -1,0 +1,167 @@
+"""Clustering stack: affinity, spectral, AHC, DER, full diarization."""
+
+import numpy as np
+import pytest
+
+from sdtk_tpu.cluster import (
+    ahc_labels,
+    cosine_affinity,
+    diarization_error_rate,
+    refine_affinity,
+    spectral_cluster,
+)
+from sdtk_tpu.cluster.der import labels_to_segments
+from sdtk_tpu.cluster.spectral import kmeans, topk_eigvecs_subspace, normalized_laplacian
+
+
+def blob_embeddings(n_per, centers, noise=0.05, seed=0, d=16):
+    rng = np.random.default_rng(seed)
+    cs = rng.standard_normal((centers, d))
+    cs /= np.linalg.norm(cs, axis=1, keepdims=True)
+    embs, labels = [], []
+    for c in range(centers):
+        e = cs[c] + noise * rng.standard_normal((n_per, d))
+        embs.append(e)
+        labels += [c] * n_per
+    return np.concatenate(embs).astype(np.float32), np.array(labels)
+
+
+def agreement(pred, true):
+    """Cluster agreement via best matching (greedy over confusion)."""
+    from scipy.optimize import linear_sum_assignment
+
+    k = max(pred.max(), true.max()) + 1
+    conf = np.zeros((k, k))
+    for p, t in zip(pred, true):
+        conf[p, t] += 1
+    r, c = linear_sum_assignment(-conf)
+    return conf[r, c].sum() / len(pred)
+
+
+def test_affinity_matrix():
+    emb, _ = blob_embeddings(5, 2)
+    aff = np.asarray(cosine_affinity(emb))
+    assert aff.shape == (10, 10)
+    assert np.all(aff >= -1e-6) and np.all(aff <= 1 + 1e-6)
+    np.testing.assert_allclose(np.diag(aff), 1.0, atol=1e-5)
+    ref = np.asarray(refine_affinity(aff))
+    assert ref.shape == (10, 10)
+    np.testing.assert_allclose(ref, ref.T, atol=1e-6)
+
+
+def test_spectral_cluster_known_k():
+    emb, true = blob_embeddings(20, 3, seed=1)
+    labels, k = spectral_cluster(emb, n_speakers=3)
+    assert k == 3
+    assert agreement(labels, true) > 0.95
+
+
+def test_spectral_cluster_auto_k():
+    emb, true = blob_embeddings(25, 2, seed=2)
+    labels, k = spectral_cluster(emb)
+    assert k == 2
+    assert agreement(labels, true) > 0.95
+
+
+def test_spectral_cluster_edge_cases():
+    assert spectral_cluster(np.zeros((0, 8), np.float32))[1] == 0
+    labels, k = spectral_cluster(np.ones((1, 8), np.float32))
+    assert k == 1 and labels.tolist() == [0]
+    # single cluster: tight blob
+    emb, _ = blob_embeddings(20, 1, noise=0.01, seed=3)
+    labels, k = spectral_cluster(emb)
+    assert k == 1
+
+
+def test_subspace_eigensolver_matches_eigh():
+    import jax.numpy as jnp
+
+    emb, _ = blob_embeddings(30, 3, seed=4)
+    aff = refine_affinity(cosine_affinity(jnp.asarray(emb)))
+    lap = normalized_laplacian(aff)
+    full_vals = np.linalg.eigh(np.asarray(lap))[0]
+    vals, vecs = topk_eigvecs_subspace(lap, 5, n_iters=100)
+    np.testing.assert_allclose(np.asarray(vals), full_vals[:5], atol=1e-3)
+    # residual check: L v ≈ λ v
+    lv = np.asarray(lap) @ np.asarray(vecs)
+    res = np.linalg.norm(lv - np.asarray(vecs) * np.asarray(vals), axis=0)
+    assert res.max() < 1e-2
+
+
+def test_kmeans_separates():
+    import jax.numpy as jnp
+
+    emb, true = blob_embeddings(30, 4, seed=5)
+    labels = np.asarray(kmeans(jnp.asarray(emb), 4))
+    assert agreement(labels, true) > 0.9
+
+
+def test_ahc():
+    emb, true = blob_embeddings(8, 3, noise=0.03, seed=6)
+    labels = ahc_labels(emb, n_speakers=3)
+    assert agreement(labels, true) > 0.95
+    # threshold mode stops on its own
+    labels2 = ahc_labels(emb, threshold=0.8)
+    assert labels2.max() + 1 >= 2
+
+
+def test_der_perfect_and_errors():
+    ref = [(0.0, 5.0, "A"), (5.0, 10.0, "B")]
+    # perfect (different label names — mapping should fix)
+    hyp = [(0.0, 5.0, "X"), (5.0, 10.0, "Y")]
+    m = diarization_error_rate(ref, hyp, collar=0.0)
+    assert m["der"] < 1e-6
+    # total miss
+    m2 = diarization_error_rate(ref, [], collar=0.0)
+    assert abs(m2["der"] - 1.0) < 1e-6 and abs(m2["miss"] - 1.0) < 1e-6
+    # half confused
+    hyp3 = [(0.0, 5.0, "X"), (5.0, 10.0, "X")]
+    m3 = diarization_error_rate(ref, hyp3, collar=0.0)
+    assert abs(m3["confusion"] - 0.5) < 0.02
+    # collar forgives boundary jitter
+    hyp4 = [(0.1, 5.1, "X"), (5.1, 9.9, "Y")]
+    assert diarization_error_rate(ref, hyp4, collar=0.25)["der"] < 0.01
+
+
+def test_labels_to_segments():
+    labels = np.array([0, 0, 1, 1, 0])
+    starts = np.array([0.0, 0.75, 1.5, 2.25, 3.0])
+    segs = labels_to_segments(labels, starts, 1.5)
+    assert segs[0] == (0.0, 2.25, "SPK00")
+    assert segs[1] == (1.5, 3.75, "SPK01")
+    assert segs[2] == (3.0, 4.5, "SPK00")
+
+
+def test_diarize_two_voices(speakers_dir, tmp_path, monkeypatch):
+    """Synthetic two-speaker conversation diarized with the fake backend."""
+    from sdtk_tpu.pipeline.diarize import DiarizeConfig, Diarizer, to_rttm, to_transcript_skeleton
+    from sdtk_tpu.utils.audio import save_wav
+
+    sr = 16000
+    rng = np.random.default_rng(7)
+
+    def voice(freq, seconds):
+        t = np.arange(int(seconds * sr)) / sr
+        x = sum((0.5 / (k + 1)) * np.sin(2 * np.pi * freq * (k + 1) * t) for k in range(4))
+        return (0.4 * x / np.max(np.abs(x))).astype(np.float32)
+
+    # A(0-4s) B(4-8s) A(8-12s)
+    wav = np.concatenate([voice(220, 4), voice(520, 4), voice(220, 4)])
+    wav += 0.005 * rng.standard_normal(len(wav)).astype(np.float32)
+
+    d = Diarizer("fake", DiarizeConfig(n_speakers=2))
+    res = d.diarize_waveform(wav)
+    assert res["n_speakers"] == 2
+    segs = res["segments"]
+    assert segs[0][2] == "S1"
+    ref = [(0, 4, "A"), (4, 8, "B"), (8, 12, "A")]
+    hyp = [(s, e, l) for s, e, l in segs]
+    der = diarization_error_rate(ref, hyp, collar=0.75)
+    assert der["der"] < 0.15, der
+
+    rttm = to_rttm(res, "test")
+    assert rttm.startswith("SPEAKER test 1 ")
+    sk = to_transcript_skeleton(res)
+    from sdtk_tpu.transcripts import get_available_speakers
+
+    assert get_available_speakers(sk) == ["S1", "S2"]
