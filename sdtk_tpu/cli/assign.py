@@ -1,0 +1,111 @@
+"""``speaker-assign`` CLI: assign / show / clear
+(reference speaker-assign:735-781)."""
+
+from __future__ import annotations
+
+import argparse
+
+from ..store import assignments as assignment_store
+from ..store import catalog as catalog_store
+from ..pipeline import assign as engine
+from .common import add_quiet, emit_json, err, info
+
+
+def cmd_assign(args) -> int:
+    try:
+        output = engine.assign(
+            args.audio,
+            args.transcript,
+            use_embeddings=args.use_embeddings,
+            use_llm=args.use_llm,
+            context=args.context,
+            expected_speakers=args.expected_speakers.split(",") if args.expected_speakers else None,
+            min_trust=args.min_trust,
+            threshold=args.threshold,
+            tags=args.tags.split(",") if args.tags else None,
+            backend=args.backend,
+            save=not args.dry_run,
+        )
+    except FileNotFoundError as e:
+        err(e.args[0] if e.args else str(e))
+        return 1
+    except ValueError as e:
+        err(e.args[0] if e.args else str(e))
+        return 1
+
+    mappings = output["mappings"]
+    if args.format == "json":
+        emit_json(output)
+    else:
+        if args.dry_run:
+            print("=== DRY RUN - No changes saved ===")
+        assigned = sum(1 for m in mappings.values() if m.get("speaker_id"))
+        info(args, f"Assigned: {assigned}/{len(mappings)}")
+        for label, m in mappings.items():
+            speaker = m.get("speaker_id") or "(unassigned)"
+            print(f"  {label} -> {speaker} ({m.get('confidence', '?')}, score: {m.get('score', 0):.2f})")
+            for c in m.get("candidates", []):
+                pass
+    return 0
+
+
+def cmd_show(args) -> int:
+    b3 = catalog_store.resolve_b3sum(args.audio)
+    data = assignment_store.load_assignments(b3) if b3 else None
+    if not data:
+        err(f"no assignments for: {args.audio}")
+        return 1
+    emit_json(data)
+    return 0
+
+
+def cmd_clear(args) -> int:
+    b3 = catalog_store.resolve_b3sum(args.audio)
+    if not b3 or not assignment_store.clear_assignments(b3):
+        err(f"no assignments for: {args.audio}")
+        return 1
+    info(args, f"Cleared assignments for {b3}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="speaker-assign",
+                                     description="Multi-signal speaker assignment")
+    add_quiet(parser)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("assign", help="Assign speaker names to transcript labels")
+    p.add_argument("audio")
+    p.add_argument("--transcript", "-t", required=True)
+    p.add_argument("--use-embeddings", action="store_true", default=True)
+    p.add_argument("--no-embeddings", dest="use_embeddings", action="store_false")
+    p.add_argument("--use-llm", action="store_true")
+    p.add_argument("--context")
+    p.add_argument("--expected-speakers")
+    p.add_argument("--min-trust", choices=["low", "medium", "high"], default="low")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--tags")
+    p.add_argument("--backend", "-b")
+    p.add_argument("-n", "--dry-run", action="store_true")
+    p.add_argument("--format", choices=["text", "json"], default="text")
+    p.add_argument("-o", "--output")
+    p.set_defaults(func=cmd_assign)
+
+    p = sub.add_parser("show", help="Show assignments for a recording")
+    p.add_argument("audio")
+    p.set_defaults(func=cmd_show)
+
+    p = sub.add_parser("clear", help="Clear assignments for a recording")
+    p.add_argument("audio")
+    p.set_defaults(func=cmd_clear)
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,58 @@
+"""Shared CLI plumbing."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Any
+
+
+def info(args: argparse.Namespace, msg: str) -> None:
+    """Status to stderr unless -q (data stays on stdout)."""
+    if not getattr(args, "quiet", False):
+        print(msg, file=sys.stderr)
+
+
+def err(msg: str) -> None:
+    print(f"Error: {msg}", file=sys.stderr)
+
+
+def emit_json(obj: Any) -> None:
+    print(json.dumps(obj, indent=2, ensure_ascii=False))
+
+
+def parse_kv(items: list[str] | None) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for item in items or []:
+        key, _, val = item.partition("=")
+        out[key] = val
+    return out
+
+
+def parse_segments_arg(spec: str) -> list[tuple[float, float]]:
+    """"0-5,10-15" or "0:5,10:15" → [(0,5),(10,15)] (reference
+    speaker_detection:731-751)."""
+    segments = []
+    for part in spec.split(","):
+        part = part.strip()
+        sep = "-" if "-" in part else ":"
+        a, _, b = part.partition(sep)
+        segments.append((float(a), float(b)))
+    return segments
+
+
+def add_quiet(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("-q", "--quiet", action="store_true", help="Suppress status output")
+    parser.add_argument("-v", "--verbose", action="store_true", help="Verbose output")
+
+
+def table(rows: list[list[str]], headers: list[str]) -> str:
+    widths = [len(h) for h in headers]
+    for row in rows:
+        for i, cell in enumerate(row):
+            widths[i] = max(widths[i], len(str(cell)))
+    fmt = "  ".join(f"{{:<{w}}}" for w in widths)
+    lines = [fmt.format(*headers), fmt.format(*["-" * w for w in widths])]
+    lines += [fmt.format(*[str(c) for c in row]) for row in rows]
+    return "\n".join(lines)

@@ -1,0 +1,543 @@
+"""``speaker_detection`` CLI: profile CRUD + enroll/identify/verify.
+
+Same subcommand tree as the reference (speaker_detection:1368-1538): add,
+list, show, update, delete, tag, export, query, enroll, embeddings,
+remove-embedding, update-embedding, identify, verify, check-validity,
+validate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from ..backends import get_backend, list_backends
+from ..store import profiles as P
+from ..store import schemas
+from .common import add_quiet, emit_json, err, info, parse_kv, parse_segments_arg, table
+
+DEFAULT_THRESHOLD = 0.354
+
+
+def cmd_add(args) -> int:
+    sid = P.normalize_speaker_id(args.id)
+    if not P.validate_speaker_id(sid):
+        err(f"invalid speaker id '{args.id}'")
+        return 1
+    if P.load_speaker(sid):
+        err(f"speaker '{sid}' already exists")
+        return 1
+    profile = P.create_speaker_profile(
+        sid,
+        args.name,
+        name_contexts=parse_kv(args.name_context),
+        nicknames=args.nickname,
+        description=args.description,
+        metadata=parse_kv(args.metadata),
+        tags=args.tag,
+    )
+    P.save_speaker(profile)
+    info(args, f"Created speaker '{sid}'")
+    return 0
+
+
+def cmd_list(args) -> int:
+    speakers = P.list_all_speakers()
+    if args.tags:
+        speakers = P.filter_speakers_by_tags(speakers, [t.strip() for t in args.tags.split(",")])
+    if args.any_tag:
+        speakers = P.filter_speakers_by_tags(
+            speakers, [t.strip() for t in args.any_tag.split(",")], any_tag=True
+        )
+    if args.offset:
+        speakers = speakers[args.offset :]
+    if args.limit:
+        speakers = speakers[: args.limit]
+    if args.format == "json":
+        emit_json(speakers)
+    elif args.format == "ids":
+        for s in speakers:
+            print(s["id"])
+    else:
+        rows = []
+        for s in speakers:
+            names = s.get("names", {})
+            name = names.get(args.context) if args.context else None
+            name = name or names.get("default", "")
+            n_emb = sum(len(v) for v in s.get("embeddings", {}).values())
+            rows.append([s["id"], name, ",".join(s.get("tags", [])), n_emb])
+        print(table(rows, ["ID", "NAME", "TAGS", "EMBEDDINGS"]))
+    return 0
+
+
+def cmd_show(args) -> int:
+    profile = P.load_speaker(P.normalize_speaker_id(args.id))
+    if not profile:
+        err(f"speaker '{args.id}' not found")
+        return 1
+    if args.format == "yaml":
+        import yaml
+
+        print(yaml.safe_dump(profile, default_flow_style=False, allow_unicode=True))
+    else:
+        emit_json(profile)
+    return 0
+
+
+def cmd_update(args) -> int:
+    sid = P.normalize_speaker_id(args.id)
+    profile = P.load_speaker(sid)
+    if not profile:
+        err(f"speaker '{sid}' not found")
+        return 1
+    if args.name:
+        profile.setdefault("names", {})["default"] = args.name
+    for ctx, name in parse_kv(args.name_context).items():
+        profile.setdefault("names", {})[ctx] = name
+    if args.description is not None:
+        profile["description"] = args.description
+    for nick in args.nickname or []:
+        if nick not in profile.setdefault("nicknames", []):
+            profile["nicknames"].append(nick)
+    for nick in args.remove_nickname or []:
+        if nick in profile.get("nicknames", []):
+            profile["nicknames"].remove(nick)
+    for tag in args.tag or []:
+        if tag not in profile.setdefault("tags", []):
+            profile["tags"].append(tag)
+    for tag in args.remove_tag or []:
+        if tag in profile.get("tags", []):
+            profile["tags"].remove(tag)
+    profile.setdefault("metadata", {}).update(parse_kv(args.metadata))
+    P.save_speaker(profile)
+    info(args, f"Updated speaker '{sid}'")
+    return 0
+
+
+def cmd_delete(args) -> int:
+    sid = P.normalize_speaker_id(args.id)
+    if not P.load_speaker(sid):
+        err(f"speaker '{sid}' not found")
+        return 1
+    if args.dry_run:
+        print(f"Would delete speaker '{sid}'")
+        return 0
+    if not args.force:
+        err("refusing to delete without --force")
+        return 1
+    P.delete_speaker(sid)
+    info(args, f"Deleted speaker '{sid}'")
+    return 0
+
+
+def cmd_tag(args) -> int:
+    sid = P.normalize_speaker_id(args.id)
+    profile = P.load_speaker(sid)
+    if not profile:
+        err(f"speaker '{sid}' not found")
+        return 1
+    if args.add and args.add not in profile.setdefault("tags", []):
+        profile["tags"].append(args.add)
+    if args.remove and args.remove in profile.get("tags", []):
+        profile["tags"].remove(args.remove)
+    P.save_speaker(profile)
+    print(",".join(profile.get("tags", [])))
+    return 0
+
+
+def cmd_export(args) -> int:
+    speakers = P.list_all_speakers()
+    if args.tags:
+        speakers = P.filter_speakers_by_tags(speakers, [t.strip() for t in args.tags.split(",")])
+    if args.format == "speechmatics":
+        out = {
+            "speakers": [
+                {
+                    "label": s["id"],
+                    "name": (s.get("names", {}).get(args.context) if args.context else None)
+                    or s.get("names", {}).get("default", s["id"]),
+                }
+                for s in speakers
+            ]
+        }
+    else:
+        out = speakers
+    text = json.dumps(out, indent=2, ensure_ascii=False)
+    if args.output:
+        from ..utils.ioutil import atomic_write_text
+
+        atomic_write_text(args.output, text + "\n")
+        info(args, f"Exported {len(speakers)} speakers to {args.output}")
+    else:
+        print(text)
+    return 0
+
+
+def cmd_query(args) -> int:
+    """jq-expression query.  No jq binary in this environment: supports the
+    common path expressions (.field, .[], select()) via a tiny evaluator, or
+    exact-match passthrough of the full JSON with '.'."""
+    speakers = P.list_all_speakers()
+    expr = args.expression.strip()
+    if expr in (".", ""):
+        emit_json(speakers)
+        return 0
+    import shutil
+    import subprocess
+
+    jq = shutil.which("jq")
+    if jq:
+        proc = subprocess.run(
+            [jq, expr], input=json.dumps(speakers), capture_output=True, text=True
+        )
+        sys.stdout.write(proc.stdout)
+        sys.stderr.write(proc.stderr)
+        return proc.returncode
+    # minimal fallback: ".[].field" and ".[] | .field"
+    m = expr.replace(" ", "")
+    if m.startswith(".[]"):
+        field = m[3:].lstrip("|").lstrip(".")
+        for s in speakers:
+            val = s
+            for part in field.split(".") if field else []:
+                val = val.get(part) if isinstance(val, dict) else None
+            print(json.dumps(val, ensure_ascii=False))
+        return 0
+    err("jq not available and expression too complex for the fallback evaluator")
+    return 1
+
+
+def cmd_enroll(args) -> int:
+    from ..pipeline import identify as engine
+
+    segments = None
+    if args.segments:
+        segments = parse_segments_arg(args.segments)
+    elif args.from_stdin:
+        segments = []
+        for line in sys.stdin:
+            line = line.strip()
+            if line:
+                d = json.loads(line)
+                segments.append((d["start"], d["end"]))
+    if args.dry_run:
+        print(f"Would enroll '{args.id}' from {args.audio}")
+        return 0
+    try:
+        rec = engine.enroll(
+            args.id,
+            args.audio,
+            backend_name=args.backend,
+            segments=segments,
+            transcript=args.from_transcript,
+            speaker_label=args.speaker_label,
+        )
+    except (KeyError, ValueError, FileNotFoundError) as e:
+        err(e.args[0] if e.args else str(e))
+        return 1
+    if args.trust_level:
+        profile = P.load_speaker(P.normalize_speaker_id(args.id))
+        for recs in profile.get("embeddings", {}).values():
+            for r in recs:
+                if r["id"] == rec["id"]:
+                    r["trust_level"] = args.trust_level
+        P.save_speaker(profile)
+    info(args, f"Enrolled '{args.id}': embedding {rec['id']} (trust: {rec['trust_level']})")
+    return 0
+
+
+def cmd_embeddings(args) -> int:
+    profile = P.load_speaker(P.normalize_speaker_id(args.id))
+    if not profile:
+        err(f"speaker '{args.id}' not found")
+        return 1
+    rows = []
+    for backend, recs in profile.get("embeddings", {}).items():
+        if args.backend and backend != args.backend:
+            continue
+        for r in recs:
+            row = [r["id"], backend, r.get("model_version", "?"), r.get("created_at", "")[:19]]
+            if args.show_trust:
+                row.append(r.get("trust_level", "unknown"))
+            rows.append(row)
+    headers = ["ID", "BACKEND", "MODEL", "CREATED"] + (["TRUST"] if args.show_trust else [])
+    print(table(rows, headers))
+    return 0
+
+
+def cmd_remove_embedding(args) -> int:
+    sid = P.normalize_speaker_id(args.id)
+    profile = P.load_speaker(sid)
+    if not profile:
+        err(f"speaker '{sid}' not found")
+        return 1
+    removed = False
+    for backend, recs in profile.get("embeddings", {}).items():
+        keep = [r for r in recs if r.get("id") != args.embedding_id]
+        if len(keep) != len(recs):
+            profile["embeddings"][backend] = keep
+            removed = True
+    if not removed:
+        err(f"embedding '{args.embedding_id}' not found")
+        return 1
+    P.save_speaker(profile)
+    info(args, f"Removed embedding {args.embedding_id}")
+    return 0
+
+
+def cmd_update_embedding(args) -> int:
+    sid = P.normalize_speaker_id(args.id)
+    profile = P.load_speaker(sid)
+    if not profile:
+        err(f"speaker '{sid}' not found")
+        return 1
+    for recs in profile.get("embeddings", {}).values():
+        for r in recs:
+            if r.get("id") == args.embedding_id:
+                if args.trust_level:
+                    r["trust_level"] = args.trust_level
+                P.save_speaker(profile)
+                info(args, f"Updated embedding {args.embedding_id}")
+                return 0
+    err(f"embedding '{args.embedding_id}' not found")
+    return 1
+
+
+def cmd_identify(args) -> int:
+    from ..pipeline import identify as engine
+
+    tags = [t.strip() for t in args.tags.split(",")] if args.tags else None
+    try:
+        results = engine.identify(
+            args.audio, backend_name=args.backend, threshold=args.threshold, tags=tags
+        )
+    except Exception as e:  # noqa: BLE001 — CLI boundary
+        err(f"identification failed: {e}")
+        return 1
+    if args.format == "json":
+        emit_json(results)
+    elif not results:
+        print("No matching speakers found.")
+    else:
+        print("\nMatches:")
+        for item in results:
+            print(f"  {item['speaker_id']}: {item['name']} (confidence: {item['score']:.2f})")
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from ..pipeline import identify as engine
+
+    try:
+        result = engine.verify(args.id, args.audio, backend_name=args.backend,
+                               threshold=args.threshold)
+    except (KeyError, ValueError) as e:
+        err(e.args[0] if e.args else str(e))
+        return 1
+    if result["match"]:
+        print(f"MATCH: Speaker '{args.id}' verified (confidence: {result['confidence']:.2f})")
+        return 0
+    print(f"NO MATCH: Audio does not match speaker '{args.id}'")
+    return 1
+
+
+def cmd_check_validity(args) -> int:
+    speakers = (
+        [P.load_speaker(P.normalize_speaker_id(args.speaker_id))]
+        if args.speaker_id
+        else P.list_all_speakers()
+    )
+    speakers = [s for s in speakers if s]
+    if not speakers:
+        print("No speakers found.")
+        return 0
+    issues = 0
+    checked = 0
+    for profile in speakers:
+        results = P.refresh_trust_levels(profile["id"], save=args.fix)
+        for res in results:
+            checked += 1
+            if res["new_trust"] == "invalidated":
+                issues += 1
+                print(f"INVALIDATED: {profile['id']}/{res['backend']}/{res['id']}")
+                if res["newly_rejected"]:
+                    print(f"  Newly rejected samples: {', '.join(res['newly_rejected'][:3])}")
+            elif res["changed"] and args.verbose:
+                print(
+                    f"CHANGED: {profile['id']}/{res['backend']}/{res['id']} "
+                    f"({res['old_trust']} -> {res['new_trust']})"
+                )
+            elif args.verbose:
+                print(f"OK: {profile['id']}/{res['backend']}/{res['id']} (trust: {res['old_trust']})")
+    print(f"\nChecked {checked} embeddings across {len(speakers)} speakers")
+    if issues:
+        print(f"  {issues} INVALIDATED (re-enrollment needed)")
+    return 1 if issues else 0
+
+
+def cmd_validate(args) -> int:
+    issues = schemas.validate_all()
+    if not issues:
+        print("All files valid.")
+        return 0
+    for path, warnings in issues.items():
+        print(f"{path}:")
+        for w in warnings:
+            print(f"  - {w}")
+    return 1 if args.strict else 0
+
+
+def cmd_backends(args) -> int:
+    for name in list_backends():
+        line = name
+        if args.verbose:
+            try:
+                b = get_backend(name)
+                line += f"  (dim={b.embedding_dim}, model={b.model_version})"
+            except Exception as e:  # noqa: BLE001
+                line += f"  (unavailable: {e})"
+        print(line)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="speaker_detection",
+        description="Speaker profile management and on-device identification",
+    )
+    add_quiet(parser)
+    parser.add_argument("-V", "--version", action="version", version="sdtk-tpu 0.1.0")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("add", help="Add a new speaker")
+    p.add_argument("id")
+    p.add_argument("--name", required=True)
+    p.add_argument("--name-context", action="append", metavar="CTX=NAME")
+    p.add_argument("--nickname", action="append")
+    p.add_argument("--description")
+    p.add_argument("--tag", action="append")
+    p.add_argument("--metadata", action="append", metavar="KEY=VALUE")
+    p.set_defaults(func=cmd_add)
+
+    p = sub.add_parser("list", help="List speakers")
+    p.add_argument("--tags")
+    p.add_argument("--any-tag")
+    p.add_argument("--format", choices=["table", "json", "ids"], default="table")
+    p.add_argument("--context")
+    p.add_argument("--limit", type=int)
+    p.add_argument("--offset", type=int, default=0)
+    p.set_defaults(func=cmd_list)
+
+    p = sub.add_parser("show", help="Show speaker details")
+    p.add_argument("id")
+    p.add_argument("--format", choices=["json", "yaml"], default="json")
+    p.set_defaults(func=cmd_show)
+
+    p = sub.add_parser("update", help="Update speaker")
+    p.add_argument("id")
+    p.add_argument("--name")
+    p.add_argument("--name-context", action="append", metavar="CTX=NAME")
+    p.add_argument("--description")
+    p.add_argument("--nickname", action="append")
+    p.add_argument("--remove-nickname", action="append")
+    p.add_argument("--tag", action="append")
+    p.add_argument("--remove-tag", action="append")
+    p.add_argument("--metadata", action="append", metavar="KEY=VALUE")
+    p.set_defaults(func=cmd_update)
+
+    p = sub.add_parser("delete", help="Delete speaker")
+    p.add_argument("id")
+    p.add_argument("--force", "-f", action="store_true")
+    p.add_argument("-n", "--dry-run", action="store_true")
+    p.set_defaults(func=cmd_delete)
+
+    p = sub.add_parser("tag", help="Manage speaker tags")
+    p.add_argument("id")
+    p.add_argument("--add")
+    p.add_argument("--remove")
+    p.set_defaults(func=cmd_tag)
+
+    p = sub.add_parser("export", help="Export speakers for STT")
+    p.add_argument("--tags")
+    p.add_argument("--context")
+    p.add_argument("--format", choices=["json", "speechmatics"], default="json")
+    p.add_argument("-o", "--output")
+    p.set_defaults(func=cmd_export)
+
+    p = sub.add_parser("query", help="Query with jq expression")
+    p.add_argument("expression")
+    p.set_defaults(func=cmd_query)
+
+    p = sub.add_parser("enroll", help="Enroll speaker from audio")
+    p.add_argument("id")
+    p.add_argument("audio")
+    p.add_argument("--backend", "-b")
+    p.add_argument("--segments", "-s", help='Time ranges, e.g. "0-5,10.5-15"')
+    p.add_argument("--from-transcript", "-t", metavar="JSON")
+    p.add_argument("--speaker-label", "-l")
+    p.add_argument("--from-stdin", action="store_true")
+    p.add_argument("-n", "--dry-run", action="store_true")
+    p.add_argument("--trust-level", choices=["high", "medium", "low"])
+    p.set_defaults(func=cmd_enroll)
+
+    p = sub.add_parser("embeddings", help="List speaker embeddings")
+    p.add_argument("id")
+    p.add_argument("--backend", "-b")
+    p.add_argument("--show-trust", action="store_true")
+    p.set_defaults(func=cmd_embeddings)
+
+    p = sub.add_parser("remove-embedding", help="Remove an embedding")
+    p.add_argument("id")
+    p.add_argument("embedding_id")
+    p.set_defaults(func=cmd_remove_embedding)
+
+    p = sub.add_parser("update-embedding", help="Update embedding properties")
+    p.add_argument("id")
+    p.add_argument("embedding_id")
+    p.add_argument("--trust-level", choices=["high", "medium", "low"])
+    p.set_defaults(func=cmd_update_embedding)
+
+    p = sub.add_parser("identify", help="Identify speaker in audio")
+    p.add_argument("audio")
+    p.add_argument("--backend", "-b")
+    p.add_argument("--tags")
+    p.add_argument("--threshold", type=float, default=DEFAULT_THRESHOLD)
+    p.add_argument("--format", "-f", choices=["text", "json"], default="text")
+    p.set_defaults(func=cmd_identify)
+
+    p = sub.add_parser("verify", help="Verify speaker in audio")
+    p.add_argument("id")
+    p.add_argument("audio")
+    p.add_argument("--backend", "-b")
+    p.add_argument("--threshold", type=float, default=DEFAULT_THRESHOLD)
+    p.set_defaults(func=cmd_verify)
+
+    p = sub.add_parser("check-validity", help="Re-check embedding trust from sample states")
+    p.add_argument("speaker_id", nargs="?")
+    p.add_argument("--fix", action="store_true", help="Persist recomputed trust levels")
+    p.set_defaults(func=cmd_check_validity)
+
+    p = sub.add_parser("validate", help="Validate all DB files")
+    p.add_argument("--strict", action="store_true")
+    p.set_defaults(func=cmd_validate)
+
+    p = sub.add_parser("backends", help="List available backends")
+    p.set_defaults(func=cmd_backends)
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    # subparsers inherit -q/-v presence from the top level parse
+    if not hasattr(args, "quiet"):
+        args.quiet = False
+    if not hasattr(args, "verbose"):
+        args.verbose = False
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,75 @@
+"""``speaker-diarize`` CLI — NEW capability: re-diarize raw audio on device.
+
+Not present in the reference toolkit (which trusts STT vendor labels);
+outputs RTTM, JSON segments, or a Speechmatics-format transcript skeleton
+that plugs into speaker-assign/review.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from .common import add_quiet, emit_json, err, info
+
+
+def cmd_run(args) -> int:
+    from ..pipeline.diarize import DiarizeConfig, Diarizer, to_rttm, to_transcript_skeleton
+
+    cfg = DiarizeConfig(
+        window_seconds=args.window,
+        hop_seconds=args.hop,
+        max_speakers=args.max_speakers,
+        n_speakers=args.num_speakers,
+    )
+    try:
+        result = Diarizer(args.backend, cfg).diarize_file(args.audio)
+    except FileNotFoundError:
+        err(f"audio file not found: {args.audio}")
+        return 1
+    info(args, f"{result['n_speakers']} speaker(s), {len(result['segments'])} segment(s)")
+
+    if args.format == "rttm":
+        out = to_rttm(result, recording_id=args.recording_id)
+    elif args.format == "transcript":
+        out = json.dumps(to_transcript_skeleton(result), indent=2)
+    else:
+        out = json.dumps(
+            {
+                "n_speakers": result["n_speakers"],
+                "segments": [
+                    {"start": s, "end": e, "speaker": l} for s, e, l in result["segments"]
+                ],
+            },
+            indent=2,
+        )
+    if args.output:
+        from ..utils.ioutil import atomic_write_text
+
+        atomic_write_text(args.output, out + ("\n" if not out.endswith("\n") else ""))
+        info(args, f"Wrote {args.output}")
+    else:
+        print(out)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="speaker-diarize",
+                                     description="On-device re-diarization of raw audio")
+    add_quiet(parser)
+    parser.add_argument("audio")
+    parser.add_argument("--format", choices=["json", "rttm", "transcript"], default="json")
+    parser.add_argument("--output", "-o")
+    parser.add_argument("--num-speakers", type=int)
+    parser.add_argument("--max-speakers", type=int, default=8)
+    parser.add_argument("--window", type=float, default=1.5)
+    parser.add_argument("--hop", type=float, default=0.75)
+    parser.add_argument("--backend", "-b")
+    parser.add_argument("--recording-id", default="rec")
+    parser.set_defaults(func=cmd_run)
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

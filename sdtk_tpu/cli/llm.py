@@ -1,0 +1,86 @@
+"""``speaker-llm`` CLI: analyze / detect-names / providers / clear-cache
+(reference speaker-llm:566-768)."""
+
+from __future__ import annotations
+
+import argparse
+
+from ..pipeline import llm as L
+from .common import add_quiet, emit_json, err, info
+
+
+def cmd_analyze(args) -> int:
+    try:
+        result = L.analyze_transcript(
+            args.transcript,
+            provider=args.provider,
+            model=args.model,
+            context=args.context,
+            use_cache=not args.no_cache,
+        )
+    except FileNotFoundError:
+        err(f"transcript not found: {args.transcript}")
+        return 1
+    emit_json(result)
+    return 0
+
+
+def cmd_detect_names(args) -> int:
+    try:
+        names = L.detect_names(args.transcript, provider=args.provider, model=args.model)
+    except FileNotFoundError:
+        err(f"transcript not found: {args.transcript}")
+        return 1
+    emit_json(names)
+    return 0
+
+
+def cmd_providers(args) -> int:
+    for p in L.list_providers():
+        status = "available" if p["available"] else "unavailable"
+        print(f"{p['name']:<12} {status:<12} model={p['default_model']}  env={p['env_var'] or '-'}")
+    return 0
+
+
+def cmd_clear_cache(args) -> int:
+    n = L.clear_cache()
+    info(args, f"Removed {n} cached response(s)")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="speaker-llm",
+                                     description="LLM speaker-name detection")
+    add_quiet(parser)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("analyze", help="Full name analysis of a transcript")
+    p.add_argument("transcript")
+    p.add_argument("--provider", choices=["anthropic", "openai", "ollama", "pattern"])
+    p.add_argument("--model")
+    p.add_argument("--context")
+    p.add_argument("--no-cache", action="store_true")
+    p.set_defaults(func=cmd_analyze)
+
+    p = sub.add_parser("detect-names", help="Quick label→name map")
+    p.add_argument("transcript")
+    p.add_argument("--provider", choices=["anthropic", "openai", "ollama", "pattern"])
+    p.add_argument("--model")
+    p.set_defaults(func=cmd_detect_names)
+
+    p = sub.add_parser("providers", help="List providers and availability")
+    p.set_defaults(func=cmd_providers)
+
+    p = sub.add_parser("clear-cache", help="Clear the response cache")
+    p.set_defaults(func=cmd_clear_cache)
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,160 @@
+"""``speaker-review`` CLI: interactive assignment review TUI
+(reference speaker-review: review/status/clear; keys p/a/r/s/n/q
+:71-84; raw-tty loop with input() fallback :683-786)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..pipeline import review as RV
+from ..store import catalog as catalog_store
+from .common import add_quiet, emit_json, err, info
+
+KEYHELP = "[p]lay  [a]pprove  [r]eject  [s]kip  [n]ext  [q]uit"
+
+
+def _getch() -> str:
+    """Single keypress; falls back to line input when not a tty."""
+    if not sys.stdin.isatty():
+        line = sys.stdin.readline()
+        if not line:
+            return "q"
+        return (line.strip() or " ")[0]
+    try:
+        import termios
+        import tty
+
+        fd = sys.stdin.fileno()
+        old = termios.tcgetattr(fd)
+        try:
+            tty.setraw(fd)
+            ch = sys.stdin.read(1)
+        finally:
+            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+        return ch
+    except Exception:
+        return (input("> ").strip() or " ")[0]
+
+
+def _render(session: RV.ReviewSession, idx: int) -> None:
+    seg = session.segments[idx]
+    total = len(session.segments)
+    print()
+    print(f"─── segment {idx + 1}/{total} ── {session.recording_b3sum[:8]}… ───")
+    print(f"  label   : {seg.speaker_label}")
+    print(f"  assigned: {seg.speaker_id or '(unassigned)'} "
+          f"({seg.confidence}, score {seg.score:.2f})")
+    print(f"  time    : {seg.start:.1f}s – {seg.end:.1f}s")
+    if seg.text:
+        print(f"  text    : {seg.text[:160]}")
+    if seg.decision:
+        print(f"  decision: {seg.decision}")
+    print(f"  {KEYHELP}")
+
+
+def cmd_review(args) -> int:
+    if args.cont:
+        session = RV.load_session()
+        if not session:
+            err("no session to continue")
+            return 1
+    else:
+        b3 = None
+        if args.audio:
+            b3 = catalog_store.resolve_b3sum(args.audio)
+        else:
+            b3 = RV.next_needing_review()
+            if not b3:
+                info(args, "Nothing needs review.")
+                return 0
+        if not b3:
+            err(f"could not resolve: {args.audio}")
+            return 1
+        try:
+            session = RV.build_session(b3)
+        except KeyError as e:
+            err(e.args[0] if e.args else str(e))
+            return 1
+
+    idx = session.position
+    while idx < len(session.segments):
+        _render(session, idx)
+        key = _getch().lower()
+        if key == "q":
+            break
+        if key == "p":
+            seg = session.segments[idx]
+            if not RV.play_segment(session.audio_path, seg.start, seg.end):
+                print("  (no audio player available: set $SPEAKER_REVIEW_PLAYER)")
+            continue
+        if key == "a":
+            RV.approve_segment(session, idx)
+            print("  approved ✓ (sample extracted)")
+        elif key == "r":
+            RV.reject_segment(session, idx)
+            print("  rejected ✗")
+        elif key == "s":
+            RV.skip_segment(session, idx)
+            print("  skipped")
+        elif key != "n":
+            continue
+        idx += 1
+        session.position = idx
+        RV.save_session(session)
+
+    status = RV.finish_review(session)
+    info(args, f"Review state: {status}")
+    return 0
+
+
+def cmd_status(args) -> int:
+    session = RV.load_session()
+    if not session:
+        print("No active session.")
+        return 0
+    decided = sum(1 for s in session.segments if s.decision)
+    out = {
+        "recording_b3sum": session.recording_b3sum,
+        "position": session.position,
+        "segments": len(session.segments),
+        "decided": decided,
+        "updated_at": session.updated_at,
+    }
+    emit_json(out)
+    return 0
+
+
+def cmd_clear(args) -> int:
+    RV.clear_session()
+    info(args, "Session cleared.")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="speaker-review",
+                                     description="Interactive assignment review")
+    add_quiet(parser)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("review", help="Review assignments for a recording")
+    p.add_argument("audio", nargs="?", help="Audio path / b3sum prefix (default: next needing review)")
+    p.add_argument("--continue", dest="cont", action="store_true")
+    p.set_defaults(func=cmd_review)
+
+    p = sub.add_parser("status", help="Show session status")
+    p.set_defaults(func=cmd_status)
+
+    p = sub.add_parser("clear", help="Clear saved session")
+    p.set_defaults(func=cmd_clear)
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
