@@ -1,0 +1,128 @@
+"""Embedder training driver: AAM-softmax on the synthetic voice corpus.
+
+Gives the framework a model that actually discriminates speakers (the
+reference could never train — its model lived in the Speechmatics cloud).
+Run:  python -m sdtk_tpu.training --steps 300 --speakers 64
+
+Data flows host→device as waveforms; features are computed on device
+(sdtk_tpu.ops.fbank), so the training step exercises the same compute
+path as inference.  Distribution comes from sdtk_tpu.parallel (data ×
+model mesh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def train(
+    steps: int = 300,
+    n_speakers: int = 64,
+    batch: int = 32,
+    seconds: float = 2.0,
+    channels: int = 512,
+    lr: float = 1e-3,
+    mesh_spec: str = "",
+    seed: int = 0,
+    out_path: str | Path | None = None,
+    log_every: int = 20,
+    log=print,
+):
+    from .data.synth import SR, synth_batch
+    from .models import EcapaConfig, EcapaTdnn
+    from .ops import fbank
+    from .parallel import make_mesh
+    from .parallel.train import (
+        TrainConfig,
+        create_train_state,
+        make_distributed_step,
+        shard_state,
+    )
+    from .utils import jaxcache
+
+    jaxcache.enable()
+    import jax
+    import jax.numpy as jnp
+
+    fcfg = fbank.FrontendConfig()
+    model = EcapaTdnn(EcapaConfig(channels=channels))
+    tcfg = TrainConfig(
+        n_classes=n_speakers, emb_dim=model.cfg.emb_dim, learning_rate=lr
+    )
+    mesh = make_mesh(mesh_spec)
+
+    n_samples = int(seconds * SR)
+    t_frames = fcfg.num_frames(n_samples)
+    state = create_train_state(
+        model, jax.random.PRNGKey(seed), tcfg, jnp.zeros((1, t_frames, fcfg.n_mels))
+    )
+    state = shard_state(state, mesh)
+    step_fn = make_distributed_step(mesh, tcfg)
+
+    featurize = jax.jit(lambda wav: fbank.log_mel(wav, fcfg))
+
+    rng = np.random.default_rng(seed)
+    t_start = time.time()
+    for step in range(steps):
+        sids = rng.integers(0, n_speakers, batch)
+        uids = rng.integers(0, 1_000_000, batch)
+        wavs = synth_batch(sids, uids, seconds)
+        feats, mask = featurize(jnp.asarray(wavs))
+        state, metrics = step_fn(state, feats, mask, jnp.asarray(sids))
+        if step % log_every == 0 or step == steps - 1:
+            log(
+                f"step {step:4d}  loss {float(metrics['loss']):7.4f}  "
+                f"acc {float(metrics['acc']):5.3f}  "
+                f"({(time.time() - t_start):6.1f}s)"
+            )
+
+    # Persist inference variables (params + batch_stats) for TpuBackend.
+    import flax.serialization
+
+    from . import config
+    from .utils.ioutil import atomic_write_bytes
+
+    variables = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    out_path = Path(out_path) if out_path else config.model_dir() / "ecapatdnn.msgpack"
+    atomic_write_bytes(out_path, flax.serialization.to_bytes(variables))
+    log(f"saved params -> {out_path}")
+    return state, out_path
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="sdtk-train", description=__doc__)
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--speakers", type=int, default=64)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--seconds", type=float, default=2.0)
+    p.add_argument("--channels", type=int, default=512)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--mesh", default="")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out")
+    args = p.parse_args(argv)
+    train(
+        steps=args.steps,
+        n_speakers=args.speakers,
+        batch=args.batch,
+        seconds=args.seconds,
+        channels=args.channels,
+        lr=args.lr,
+        mesh_spec=args.mesh,
+        seed=args.seed,
+        out_path=args.out,
+        log=lambda msg: print(msg, file=sys.stderr),
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
