@@ -124,6 +124,21 @@ class LocalEmbeddingBackend(EmbeddingBackend):
             wav = np.pad(wav, (0, self.sample_rate // 2 - len(wav)))
         return wav
 
+    def embed_windows(self, wav: np.ndarray, window_s: float = 3.0, hop_s: float = 1.5
+                      ) -> np.ndarray:
+        """(n_windows, D) per-window embeddings; default loops over
+        embed_waveform (device backends batch this)."""
+        sr = self.sample_rate
+        win, hop = int(window_s * sr), int(hop_s * sr)
+        n = len(wav)
+        n_win = 1 if n <= win else 1 + (n - win + hop - 1) // hop
+        return np.stack(
+            [
+                np.asarray(self.embed_waveform(wav[i * hop : i * hop + win]))
+                for i in range(n_win)
+            ]
+        )
+
     def enroll_speaker(self, audio_path, segments=None):
         wav = self._load(audio_path, segments)
         vec = np.asarray(self.embed_waveform(wav), dtype=np.float32)
@@ -135,6 +150,11 @@ class LocalEmbeddingBackend(EmbeddingBackend):
 
     def identify_speaker(self, audio_path, candidates, threshold=DEFAULT_THRESHOLD,
                          segments=None):
+        """Window-level identification: every 3 s window scores against the
+        profile matrix, and a speaker matches if any window clears the
+        threshold — so multi-speaker recordings surface every present
+        speaker (the reference delegated this to the cloud's internal
+        diarization, speechmatics_backend.py:361-489)."""
         from ..ops.cosine import score_rows
         from ..store.profiles import ProfileMatrix
 
@@ -142,13 +162,12 @@ class LocalEmbeddingBackend(EmbeddingBackend):
         if len(pm) == 0:
             return []
         wav = self._load(audio_path, segments)
-        query = np.asarray(self.embed_waveform(wav), dtype=np.float32)
-        sims = score_rows(query[None, :], pm.matrix)[0]  # (N,)
+        queries = np.asarray(self.embed_windows(wav), dtype=np.float32)  # (W, D)
+        sims = score_rows(queries, pm.matrix)  # (W, N)
+        best_per_row = sims.max(axis=0)  # (N,) best window per profile row
 
-        # Best row per speaker, then threshold + sort (the reference returns
-        # one entry per matched speaker, speaker_detection:1083-1123).
         best: dict[str, tuple[float, str]] = {}
-        for row, sim in zip(pm.rows, np.asarray(sims)):
+        for row, sim in zip(pm.rows, best_per_row):
             sid = row["speaker_id"]
             if sid not in best or sim > best[sid][0]:
                 best[sid] = (float(sim), row["embedding_id"])

@@ -66,6 +66,14 @@ class TpuBackend(LocalEmbeddingBackend):
     def embed_waveform(self, wav: np.ndarray) -> np.ndarray:
         return self.engine.embed_one(wav)
 
+    def embed_windows(self, wav: np.ndarray, window_s: float = WINDOW_SECONDS,
+                      hop_s: float = HOP_SECONDS) -> np.ndarray:
+        """Batched on-device window embeddings (one jit call per
+        max_windows chunk)."""
+        windows, lengths, n_win = self.engine._window(np.asarray(wav, np.float32))
+        embs = np.asarray(self.engine._embed_jit(windows, lengths))
+        return embs[:n_win]
+
     def embed_batch(self, wavs: list[np.ndarray]) -> np.ndarray:
         return np.stack([self.engine.embed_one(w) for w in wavs])
 
@@ -74,6 +82,11 @@ class _EmbedEngine:
     """Owns params + the jitted embed program (single static shape)."""
 
     def __init__(self, model_name, channels, max_windows, params_path, seed):
+        self._model_name = model_name
+        self._channels = channels
+        from ..utils import jaxcache
+
+        jaxcache.enable()
         import jax
         import jax.numpy as jnp
 
@@ -110,20 +123,34 @@ class _EmbedEngine:
 
         self._embed_jit = jax.jit(embed_fn)
 
+    def _params_search_paths(self) -> list[Path]:
+        name = f"{type(self.model).__name__.lower()}.msgpack"
+        repo_models = Path(__file__).resolve().parent.parent.parent / "models"
+        return [
+            config.model_dir() / name,
+            repo_models / "ecapatdnn-synth64.msgpack"
+            if self._model_name == "ecapa" and self._channels == 512
+            else repo_models / name,
+        ]
+
     def _init_or_load(self, params_path, seed):
         import jax
         import jax.numpy as jnp
 
-        path = Path(params_path) if params_path else (
-            config.model_dir() / f"{type(self.model).__name__.lower()}.msgpack"
+        candidates = (
+            [Path(params_path)] if params_path else self._params_search_paths()
         )
         dummy = jnp.zeros((1, 64, self.cfg.n_mels))
         variables = self.model.init(jax.random.PRNGKey(seed), dummy)
-        if path.exists():
-            import flax.serialization
+        for path in candidates:
+            if path.exists():
+                import flax.serialization
 
-            with open(path, "rb") as f:
-                variables = flax.serialization.from_bytes(variables, f.read())
+                with open(path, "rb") as f:
+                    variables = flax.serialization.from_bytes(variables, f.read())
+                self.params_source = str(path)
+                return variables
+        self.params_source = "random-init"
         return variables
 
     def save_params(self, path: str | Path | None = None) -> Path:

@@ -27,13 +27,21 @@ def normalized_laplacian(aff: jax.Array) -> jax.Array:
     return jnp.eye(aff.shape[0]) - aff * d_inv_sqrt[:, None] * d_inv_sqrt[None, :]
 
 
+EIGVAL_TAU = 0.65  # Laplacian eigenvalues below τ count as cluster modes
+
+
 @partial(jax.jit, static_argnames=("max_speakers",))
 def eigengap_count(eigvals: jax.Array, max_speakers: int = 8) -> jax.Array:
-    """Estimate #speakers from the largest gap in the smallest Laplacian
-    eigenvalues (eigvals ascending)."""
+    """Estimate #speakers as the number of small Laplacian eigenvalues.
+
+    A k-cluster graph has k eigenvalues near 0 and the rest near 1; with
+    realistic within-cluster chaining the "small" ones drift up, which
+    breaks the classic argmax-of-gaps rule (the 0→λ₁ gap dominates), so we
+    count eigenvalues below a fixed τ instead and break ties toward the
+    largest gap under the cap."""
     k = min(max_speakers + 1, eigvals.shape[0])
-    gaps = eigvals[1:k] - eigvals[: k - 1]
-    return jnp.argmax(gaps) + 1
+    below = (eigvals[:k] < EIGVAL_TAU).sum()
+    return jnp.clip(below, 1, max_speakers)
 
 
 def _kmeans_step(centers, x, k):
@@ -111,25 +119,92 @@ def topk_eigvecs_subspace(
     return lam[order][:k], (vecs[:, order])[:, :k]
 
 
+def _spectral_cluster_numpy(
+    emb: np.ndarray, n_speakers: int | None, max_speakers: int, p_percentile: float
+) -> tuple[np.ndarray, int]:
+    """Host-side mirror of the device pipeline for small window counts.
+
+    A dedicated NumPy path because (a) N varies per recording, so the
+    device path would recompile the N×N eigensolve for every new meeting
+    length, and (b) at N<1024 the whole solve is sub-second on host —
+    cheaper than one device round trip through the tunnel."""
+    n = emb.shape[0]
+    e = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    raw = (1.0 + e @ e.T) * 0.5
+
+    a = raw.copy()
+    np.fill_diagonal(a, 0.0)
+    k = min(n - 1, max(3, int(round((1.0 - p_percentile) * n))))
+    kth = np.partition(a, -k, axis=1)[:, -k][:, None]
+    a = np.where(a >= kth, a, a * 0.01)
+    a = np.maximum(a, a.T)
+    np.fill_diagonal(a, a.max(axis=1))
+
+    def lap_of(mat):
+        d = np.maximum(mat.sum(axis=1), 1e-12)
+        inv = 1.0 / np.sqrt(d)
+        return np.eye(n) - mat * inv[:, None] * inv[None, :]
+
+    eigvals, eigvecs = np.linalg.eigh(lap_of(a))
+    if n_speakers is None:
+        lite = raw**8
+        np.fill_diagonal(lite, 1.0)
+        count_vals = np.linalg.eigvalsh(lap_of(lite))
+        kk = min(max_speakers + 1, n)
+        n_speakers = int((count_vals[:kk] < EIGVAL_TAU).sum())
+        n_speakers = max(1, min(n_speakers, max_speakers))
+    n_speakers = max(1, min(n_speakers, max_speakers))
+    if n_speakers == 1:
+        return np.zeros(n, dtype=np.int32), 1
+
+    spec = eigvecs[:, :n_speakers]
+    spec = spec / np.maximum(np.linalg.norm(spec, axis=1, keepdims=True), 1e-12)
+
+    # Farthest-point init + Lloyd iterations (same scheme as the device
+    # kmeans).
+    centers = [spec[0]]
+    min_d2 = np.full(n, np.inf)
+    for _ in range(1, n_speakers):
+        min_d2 = np.minimum(min_d2, ((spec - centers[-1]) ** 2).sum(axis=1))
+        centers.append(spec[int(np.argmax(min_d2))])
+    c = np.stack(centers)
+    assign = np.zeros(n, dtype=np.int64)
+    for _ in range(25):
+        d2 = ((spec[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(n_speakers):
+            members = spec[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return assign.astype(np.int32), n_speakers
+
+
 def spectral_cluster(
     emb: np.ndarray | jax.Array,
     n_speakers: int | None = None,
     max_speakers: int = 8,
     p_percentile: float = 0.95,
     use_subspace: bool | None = None,
+    force_device: bool = False,
 ) -> tuple[np.ndarray, int]:
     """Full pipeline: embeddings → labels.
 
     Returns (labels (N,), n_speakers).  ``n_speakers=None`` auto-estimates
-    via eigengap.
+    via eigengap.  Small inputs take the NumPy path unless ``force_device``.
     """
-    emb = jnp.asarray(emb)
-    n = emb.shape[0]
+    n = int(emb.shape[0])
     if n == 0:
         return np.zeros(0, dtype=np.int32), 0
     if n == 1:
         return np.zeros(1, dtype=np.int32), 1
     max_speakers = min(max_speakers, n)
+
+    if not force_device and n < 1024 and isinstance(emb, np.ndarray):
+        return _spectral_cluster_numpy(
+            np.asarray(emb, dtype=np.float32), n_speakers, max_speakers, p_percentile
+        )
+
+    emb = jnp.asarray(emb)
 
     raw_aff = cosine_affinity(emb)
     aff = refine_affinity(raw_aff, p_percentile=p_percentile)

@@ -31,9 +31,22 @@ def _score_rows_jit(queries: jax.Array, profiles: jax.Array) -> jax.Array:
 
 def score_rows(queries: np.ndarray | jax.Array, profiles: np.ndarray | jax.Array) -> np.ndarray:
     """(Q, D) x (N, D) → (Q, N) cosine similarity (inputs need not be
-    pre-normalized)."""
+    pre-normalized).
+
+    Small profile sets score in NumPy — a device round-trip (and a jit
+    compile in a fresh process) costs far more than the handful of FLOPs.
+    The HBM-resident matmul path kicks in at scale.
+    """
     if profiles.shape[0] == 0:
         return np.zeros((queries.shape[0], 0), dtype=np.float32)
+    if (
+        isinstance(queries, np.ndarray)
+        and isinstance(profiles, np.ndarray)
+        and queries.shape[0] * profiles.shape[0] * profiles.shape[1] < (1 << 24)
+    ):
+        q = queries / np.maximum(np.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
+        p = profiles / np.maximum(np.linalg.norm(profiles, axis=-1, keepdims=True), 1e-12)
+        return (q @ p.T).astype(np.float32)
     return np.asarray(_score_rows_jit(jnp.asarray(queries), jnp.asarray(profiles)))
 
 
