@@ -24,7 +24,8 @@ def train(
     steps: int = 300,
     n_speakers: int = 64,
     batch: int = 32,
-    seconds: float = 2.0,
+    seconds: float = 3.0,
+    crop_seconds: float = 1.5,
     channels: int = 512,
     lr: float = 1e-3,
     mesh_spec: str = "",
@@ -33,6 +34,9 @@ def train(
     log_every: int = 20,
     log=print,
 ):
+    """``crop_seconds`` < ``seconds`` trains on random crops (with random
+    gain), matching the diarizer's window distribution — including
+    silence-heavy and mid-utterance crops."""
     from .data.synth import SR, synth_batch
     from .models import EcapaConfig, EcapaTdnn
     from .ops import fbank
@@ -56,7 +60,8 @@ def train(
     )
     mesh = make_mesh(mesh_spec)
 
-    n_samples = int(seconds * SR)
+    crop_seconds = min(crop_seconds or seconds, seconds)
+    n_samples = int(crop_seconds * SR)
     t_frames = fcfg.num_frames(n_samples)
     state = create_train_state(
         model, jax.random.PRNGKey(seed), tcfg, jnp.zeros((1, t_frames, fcfg.n_mels))
@@ -67,11 +72,16 @@ def train(
     featurize = jax.jit(lambda wav: fbank.log_mel(wav, fcfg))
 
     rng = np.random.default_rng(seed)
+    full_len = int(seconds * SR)
     t_start = time.time()
     for step in range(steps):
         sids = rng.integers(0, n_speakers, batch)
         uids = rng.integers(0, 1_000_000, batch)
         wavs = synth_batch(sids, uids, seconds)
+        if n_samples < full_len:
+            offs = rng.integers(0, full_len - n_samples + 1, batch)
+            wavs = np.stack([w[o : o + n_samples] for w, o in zip(wavs, offs)])
+        wavs = wavs * rng.uniform(0.3, 1.2, (batch, 1)).astype(np.float32)
         feats, mask = featurize(jnp.asarray(wavs))
         state, metrics = step_fn(state, feats, mask, jnp.asarray(sids))
         if step % log_every == 0 or step == steps - 1:
@@ -102,7 +112,8 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--speakers", type=int, default=64)
     p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--seconds", type=float, default=2.0)
+    p.add_argument("--seconds", type=float, default=3.0)
+    p.add_argument("--crop-seconds", type=float, default=1.5)
     p.add_argument("--channels", type=int, default=512)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--mesh", default="")
@@ -114,6 +125,7 @@ def main(argv=None) -> int:
         n_speakers=args.speakers,
         batch=args.batch,
         seconds=args.seconds,
+        crop_seconds=args.crop_seconds,
         channels=args.channels,
         lr=args.lr,
         mesh_spec=args.mesh,

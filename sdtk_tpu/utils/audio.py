@@ -110,16 +110,51 @@ def probe(path: str | Path) -> AudioInfo:
     raise AudioFormatError(f"unsupported container: {path.suffix} ({path})")
 
 
+def _load_audio_native(path: Path, target_sr: int | None) -> tuple[np.ndarray, int] | None:
+    """C++ decode+resample (native/audioio.cc); None → use the Python path."""
+    import ctypes
+
+    from .nativelib import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    data = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_int64()
+    sr = ctypes.c_int()
+    rc = lib.sdtk_decode_wav(
+        str(path).encode(), int(target_sr or 0), ctypes.byref(data),
+        ctypes.byref(n), ctypes.byref(sr),
+    )
+    if rc != 0:
+        if rc == 2:
+            raise AudioFormatError(f"unsupported or corrupt WAV: {path}")
+        return None
+    try:
+        x = np.ctypeslib.as_array(data, shape=(n.value,)).copy()
+    finally:
+        lib.sdtk_free(data)
+    return x, sr.value
+
+
 def load_audio(
     path: str | Path, target_sr: int = TARGET_SR, mono: bool = True
 ) -> tuple[np.ndarray, int]:
-    """Decode → mono mixdown → resample to target rate. Returns (float32, sr)."""
+    """Decode → mono mixdown → resample to target rate. Returns (float32, sr).
+
+    Uses the native C++ decoder when built (mono only); falls back to the
+    NumPy parser.
+    """
     path = Path(path)
     if path.suffix.lower() != ".wav":
         raise AudioFormatError(
             f"unsupported container: {path.suffix} — transcode to WAV "
             f"(no ffmpeg in this environment)"
         )
+    if mono:
+        native = _load_audio_native(path, target_sr)
+        if native is not None:
+            return native
     x, sr = _decode_wav(path)
     if mono:
         x = x.mean(axis=1)
@@ -127,6 +162,40 @@ def load_audio(
         x = resample(x, sr, target_sr)
         sr = target_sr
     return np.ascontiguousarray(x, dtype=np.float32), sr
+
+
+def load_audio_batch(
+    paths: list[str | Path], target_sr: int = TARGET_SR, n_threads: int = 0
+) -> list[np.ndarray]:
+    """Threaded batch decode (native pool when available) — the host input
+    pipeline for data-parallel embedding (SURVEY.md §2.3 DP row)."""
+    import ctypes
+
+    from .nativelib import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return [load_audio(p, target_sr)[0] for p in paths]
+
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    datas = (ctypes.POINTER(ctypes.c_float) * n)()
+    lens = (ctypes.c_int64 * n)()
+    srs = (ctypes.c_int * n)()
+    errs = (ctypes.c_int * n)()
+    lib.sdtk_decode_wav_batch(
+        c_paths, n, int(target_sr or 0), int(n_threads), datas, lens, srs, errs
+    )
+    out: list[np.ndarray] = []
+    for i in range(n):
+        if errs[i] != 0:
+            out.append(load_audio(paths[i], target_sr)[0])  # python fallback
+            continue
+        try:
+            out.append(np.ctypeslib.as_array(datas[i], shape=(lens[i],)).copy())
+        finally:
+            lib.sdtk_free(datas[i])
+    return out
 
 
 def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:

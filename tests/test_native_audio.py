@@ -1,0 +1,63 @@
+"""Native C++ audio loader vs Python oracle."""
+
+import numpy as np
+import pytest
+
+from sdtk_tpu.utils import audio
+from sdtk_tpu.utils.nativelib import get_lib
+
+from conftest import make_wav
+
+pytestmark = pytest.mark.skipif(get_lib() is None, reason="native lib unavailable")
+
+
+def test_native_decode_matches_python(tmp_path):
+    p = make_wav(tmp_path / "t.wav", seconds=2.0, sr=16000, freq=330, seed=1)
+    native = audio._load_audio_native(p, 16000)
+    assert native is not None
+    x_n, sr_n = native
+    x_p, sr_p = audio._decode_wav(p)
+    x_p = x_p.mean(axis=1)
+    assert sr_n == 16000 == sr_p
+    np.testing.assert_allclose(x_n, x_p, atol=1e-6)
+
+
+def test_native_resample_close_to_scipy(tmp_path):
+    p = make_wav(tmp_path / "r.wav", seconds=1.0, sr=44100, freq=1000)
+    x_n, sr = audio._load_audio_native(p, 16000)
+    assert sr == 16000
+    assert abs(len(x_n) - 16000) <= 2
+    # spectral check: 1 kHz peak survives
+    spec = np.abs(np.fft.rfft(x_n * np.hanning(len(x_n))))
+    peak_hz = np.argmax(spec) * sr / len(x_n)
+    assert abs(peak_hz - 1000) < 10
+    # amplitude preserved within a few percent
+    assert abs(np.abs(x_n).max() - 0.5) < 0.05
+
+
+def test_native_corrupt_wav_raises(tmp_path):
+    p = tmp_path / "bad.wav"
+    p.write_bytes(b"RIFFxxxxWAVEjunkjunkjunk" + b"\x00" * 100)
+    with pytest.raises(audio.AudioFormatError):
+        audio.load_audio(p)
+
+
+def test_batch_loader(tmp_path):
+    paths = [
+        make_wav(tmp_path / f"b{i}.wav", seconds=0.5, sr=16000, freq=200 + 50 * i, seed=i)
+        for i in range(6)
+    ]
+    batch = audio.load_audio_batch(paths, 16000, n_threads=3)
+    assert len(batch) == 6
+    for i, (p, x) in enumerate(zip(paths, batch)):
+        ref, _ = audio.load_audio(p, 16000)
+        np.testing.assert_allclose(x, ref, atol=1e-6)
+
+
+def test_batch_loader_mixed_errors(tmp_path):
+    good = make_wav(tmp_path / "g.wav", seconds=0.5)
+    # stereo python-fallback case is exercised via a fine file + a 8kHz file
+    other = make_wav(tmp_path / "o.wav", seconds=0.5, sr=8000)
+    batch = audio.load_audio_batch([good, other], 16000)
+    assert len(batch) == 2
+    assert abs(len(batch[1]) - 8000) <= 2  # resampled 0.5s → 8000 samples
