@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# Test runner (the reference's run_speaker_diarization_tests.sh analogue).
+#   ./run_tests.sh            all unit tests
+#   ./run_tests.sh cluster    one collection (tests/test_<name>.py)
+#   ./run_tests.sh --doc      show the test-suite documentation
+#   ./run_tests.sh --evals    accuracy benchmarks (fake backend)
+set -euo pipefail
+cd "$(dirname "$0")"
+
+case "${1:-}" in
+  --doc)
+    cat tests/README.md
+    ;;
+  --evals)
+    python evals/benchmark_identify.py --backend "${2:-fake}"
+    python evals/benchmark_der.py --backend "${2:-fake}"
+    ;;
+  "")
+    exec python -m pytest tests/ -x -q
+    ;;
+  *)
+    exec python -m pytest "tests/test_${1}.py" -q
+    ;;
+esac
