@@ -59,6 +59,29 @@ def cmd_show(args) -> int:
     return 0
 
 
+def cmd_apply(args) -> int:
+    """Rewrite a transcript's labels using stored assignments (the
+    stt_assemblyai_speaker_mapper capability, first-party)."""
+    import json
+
+    from ..transcripts.mapper import apply_assignments_to_transcript
+
+    b3 = catalog_store.resolve_b3sum(args.audio)
+    data = assignment_store.load_assignments(b3) if b3 else None
+    if not data:
+        err(f"no assignments for: {args.audio}")
+        return 1
+    transcript = args.transcript or data.get("transcript_path")
+    mapped = apply_assignments_to_transcript(
+        transcript, data, output_path=args.output, use_names=not args.ids
+    )
+    if args.output:
+        info(args, f"Wrote mapped transcript: {args.output}")
+    else:
+        print(json.dumps(mapped, indent=2, ensure_ascii=False))
+    return 0
+
+
 def cmd_clear(args) -> int:
     b3 = catalog_store.resolve_b3sum(args.audio)
     if not b3 or not assignment_store.clear_assignments(b3):
@@ -94,6 +117,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("show", help="Show assignments for a recording")
     p.add_argument("audio")
     p.set_defaults(func=cmd_show)
+
+    p = sub.add_parser("apply", help="Rewrite transcript labels from assignments")
+    p.add_argument("audio")
+    p.add_argument("--transcript", "-t", help="Default: path stored in the assignment file")
+    p.add_argument("-o", "--output")
+    p.add_argument("--ids", action="store_true", help="Map to speaker ids instead of names")
+    p.set_defaults(func=cmd_apply)
 
     p = sub.add_parser("clear", help="Clear assignments for a recording")
     p.add_argument("audio")
