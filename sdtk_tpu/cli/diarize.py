@@ -29,20 +29,33 @@ def cmd_run(args) -> int:
         return 1
     info(args, f"{result['n_speakers']} speaker(s), {len(result['segments'])} segment(s)")
 
+    if args.eval_rttm:
+        from ..cluster.der import diarization_error_rate, load_rttm
+
+        refs = load_rttm(args.eval_rttm)
+        ref = refs.get(args.recording_id) or next(iter(refs.values()), [])
+        metrics = diarization_error_rate(ref, result["segments"], collar=args.collar)
+        info(
+            args,
+            f"DER {metrics['der']:.3f} (miss {metrics['miss']:.3f}, "
+            f"fa {metrics['false_alarm']:.3f}, conf {metrics['confusion']:.3f})",
+        )
+        result["der"] = metrics
+
     if args.format == "rttm":
         out = to_rttm(result, recording_id=args.recording_id)
     elif args.format == "transcript":
         out = json.dumps(to_transcript_skeleton(result), indent=2)
     else:
-        out = json.dumps(
-            {
-                "n_speakers": result["n_speakers"],
-                "segments": [
-                    {"start": s, "end": e, "speaker": l} for s, e, l in result["segments"]
-                ],
-            },
-            indent=2,
-        )
+        payload = {
+            "n_speakers": result["n_speakers"],
+            "segments": [
+                {"start": s, "end": e, "speaker": l} for s, e, l in result["segments"]
+            ],
+        }
+        if "der" in result:
+            payload["der"] = result["der"]
+        out = json.dumps(payload, indent=2)
     if args.output:
         from ..utils.ioutil import atomic_write_text
 
@@ -66,6 +79,8 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--hop", type=float, default=0.75)
     parser.add_argument("--backend", "-b")
     parser.add_argument("--recording-id", default="rec")
+    parser.add_argument("--eval-rttm", help="Reference RTTM: print DER after diarizing")
+    parser.add_argument("--collar", type=float, default=0.25)
     parser.set_defaults(func=cmd_run)
     args = parser.parse_args(argv)
     return args.func(args)

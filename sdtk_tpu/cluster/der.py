@@ -96,6 +96,25 @@ def diarization_error_rate(
     }
 
 
+def load_rttm(path) -> dict[str, list[Segment]]:
+    """Parse an RTTM file → {recording_id: [(start, end, label), ...]}.
+
+    Standard NIST format: ``SPEAKER <rec> <chan> <tbeg> <tdur> <NA> <NA>
+    <name> <NA> [<NA>]`` — the interchange format for AMI/DIHARD references.
+    """
+    out: dict[str, list[Segment]] = {}
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 8 or parts[0] != "SPEAKER":
+                continue
+            rec, tbeg, tdur, name = parts[1], float(parts[3]), float(parts[4]), parts[7]
+            out.setdefault(rec, []).append((tbeg, tbeg + tdur, name))
+    for segs in out.values():
+        segs.sort()
+    return out
+
+
 def labels_to_segments(
     labels: np.ndarray, window_starts: np.ndarray, window_dur: float,
     prefix: str = "SPK",

@@ -291,3 +291,28 @@ def test_module_entrypoints_subprocess(tmp_path, speakers_dir):
         capture_output=True, text=True, env=env, timeout=60,
     )
     assert r.stdout.strip() == "zoe"
+
+
+def test_umbrella_dispatcher_subprocess(tmp_path, speakers_dir):
+    """`python -m sdtk_tpu <tool>` routes to the per-tool CLI."""
+    import subprocess, os
+
+    env = dict(os.environ)
+    env["SPEAKERS_EMBEDDINGS_DIR"] = str(speakers_dir)
+    env["PYTHONPATH"] = "/root/repo"
+    r = subprocess.run(
+        [sys.executable, "-m", "sdtk_tpu", "detection", "add", "kai", "--name", "Kai"],
+        capture_output=True, text=True, env=env, timeout=60,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "sdtk_tpu", "detection", "list", "--format", "ids"],
+        capture_output=True, text=True, env=env, timeout=60,
+    )
+    assert r.stdout.strip() == "kai"
+    r = subprocess.run(
+        [sys.executable, "-m", "sdtk_tpu", "nope"],
+        capture_output=True, text=True, env=env, timeout=60,
+    )
+    assert r.returncode == 2
+    assert "unknown tool" in r.stderr

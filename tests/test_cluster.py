@@ -165,3 +165,47 @@ def test_diarize_two_voices(speakers_dir, tmp_path, monkeypatch):
     from sdtk_tpu.transcripts import get_available_speakers
 
     assert get_available_speakers(sk) == ["S1", "S2"]
+
+
+def test_load_rttm_roundtrip(tmp_path):
+    """RTTM parse: NIST SPEAKER lines grouped per recording, sorted by start."""
+    from sdtk_tpu.cluster.der import load_rttm
+
+    p = tmp_path / "ref.rttm"
+    p.write_text(
+        "SPEAKER rec1 1 4.00 2.50 <NA> <NA> bob <NA> <NA>\n"
+        "SPEAKER rec1 1 0.00 4.00 <NA> <NA> alice <NA> <NA>\n"
+        ";; comment line\n"
+        "SPEAKER rec2 1 1.00 1.00 <NA> <NA> carol <NA>\n"
+    )
+    refs = load_rttm(p)
+    assert set(refs) == {"rec1", "rec2"}
+    assert refs["rec1"] == [(0.0, 4.0, "alice"), (4.0, 6.5, "bob")]
+    assert refs["rec2"] == [(1.0, 2.0, "carol")]
+
+
+def test_diarize_cli_eval_rttm(speakers_dir, tmp_path, capsys):
+    """`diarize run --eval-rttm` reports DER against a reference RTTM."""
+    import json
+
+    from sdtk_tpu.cli import diarize as cli_diarize
+    from sdtk_tpu.utils.audio import save_wav
+
+    sr = 16000
+    t = np.arange(4 * sr) / sr
+    a = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    b = (0.4 * np.sin(2 * np.pi * 520 * t)).astype(np.float32)
+    wav_path = tmp_path / "conv.wav"
+    save_wav(wav_path, np.concatenate([a, b]), sr)
+    rttm_path = tmp_path / "ref.rttm"
+    rttm_path.write_text(
+        "SPEAKER rec 1 0.00 4.00 <NA> <NA> A <NA> <NA>\n"
+        "SPEAKER rec 1 4.00 4.00 <NA> <NA> B <NA> <NA>\n"
+    )
+    rc = cli_diarize.main(
+        [str(wav_path), "--backend", "fake", "--num-speakers", "2",
+         "--format", "json", "--eval-rttm", str(rttm_path)]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert "der" in out and out["der"]["der"] < 0.3, out.get("der")
