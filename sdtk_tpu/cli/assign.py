@@ -106,7 +106,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--context")
     p.add_argument("--expected-speakers")
     p.add_argument("--min-trust", choices=["low", "medium", "high"], default="low")
-    p.add_argument("--threshold", type=float, default=0.5)
+    # reference speaker-assign:756 defaults the CLI threshold to 0.3
+    p.add_argument("--threshold", type=float, default=0.3)
     p.add_argument("--tags")
     p.add_argument("--backend", "-b")
     p.add_argument("-n", "--dry-run", action="store_true")

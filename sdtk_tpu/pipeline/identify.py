@@ -87,6 +87,8 @@ def identify(
     Output rows mirror reference cmd_identify (:1115-1127): speaker_id,
     name, score, confidence, trust_level, embedding_id, backend.
     """
+    if not Path(audio_path).exists():
+        raise FileNotFoundError(f"audio file not found: {audio_path}")
     backend = get_backend(backend_name)
     speakers = P.list_all_speakers()
     if tags:
@@ -142,6 +144,8 @@ def verify(
     segments: list[tuple[float, float]] | None = None,
 ) -> dict[str, Any]:
     """Verify audio against one speaker; {match: bool, confidence: float}."""
+    if not Path(audio_path).exists():
+        raise FileNotFoundError(f"audio file not found: {audio_path}")
     speaker_id = P.normalize_speaker_id(speaker_id)
     profile = P.load_speaker(speaker_id)
     if profile is None:
