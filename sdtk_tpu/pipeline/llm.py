@@ -222,17 +222,29 @@ class OllamaProvider(Provider):
 
 # Self-introduction / address regexes for the offline provider.
 _NAME = r"([A-Z][a-z]+(?:\s[A-Z][a-z]+)?)"
+_TITLED = r"((?:Mr|Ms|Mrs|Dr|Prof)\.?\s[A-Z][a-z]+)"
 _SELF_PATTERNS = [
     re.compile(rf"\bI'?m\s+{_NAME}\b"),
     re.compile(rf"\b[Mm]y name is\s+{_NAME}\b"),
     re.compile(rf"\b[Tt]his is\s+{_NAME}\b"),
+    re.compile(rf"\bcalls? me\s+{_NAME}\b"),  # "everyone calls me Kate"
 ]
 _ADDRESS_PATTERNS = [  # name of whoever speaks NEXT
     re.compile(rf"^{_NAME},"),  # "Bob, can you..."
+    re.compile(rf"^{_TITLED},"),  # "Mr. Calloway, you had..."
     re.compile(rf"\b(?:[Hh]ey|[Hh]i)\s+{_NAME}\b"),
+    re.compile(rf"\byou,?\s+{_NAME}\b"),  # "over to you, Henrik"
 ]
 _THANKS_PATTERN = re.compile(rf"\b[Tt]hanks,?\s+{_NAME}\b")  # PREVIOUS speaker
-_STOPWORDS = {"Hi", "Hey", "Thanks", "Ok", "Okay", "Yes", "No", "So", "Well", "I"}
+_STOPWORDS = {
+    # interjections/discourse words that start sentences and would otherwise
+    # match the "^Name," direct-address pattern
+    "Hi", "Hey", "Hello", "Thanks", "Thank", "Ok", "Okay", "Yes", "No", "So",
+    "Well", "I", "Welcome", "Right", "Sure", "Sorry", "Great", "Perfect",
+    "Understood", "Agreed", "Excellent", "Exactly", "Absolutely", "Alright",
+    "Anyway", "Also", "Now", "Next", "First", "Second", "Finally", "Again",
+    "Good", "Fine", "Wait", "Look", "Listen", "Please", "Correct", "Indeed",
+}
 _SENTENCE_SPLIT = re.compile(r"(?<=[.!?])\s+")
 
 

@@ -73,3 +73,21 @@ def test_apply_to_file(speakers_dir, tmp_path):
     )
     assert mapped["utterances"][0]["speaker"] == "Bob"
     assert json.loads(out.read_text())["utterances"][0]["speaker"] == "Bob"
+
+
+def test_mapper_benchmark_pattern_provider(tmp_path, monkeypatch):
+    """The 7-scenario mapper benchmark passes 7/7 with the offline pattern
+    provider (reference gpt-4o-mini scored 100%, local LLMs 0% —
+    benchmark.FINDINGS.md:19-31)."""
+    import sys
+    from pathlib import Path
+
+    monkeypatch.setenv("SPEAKER_LLM_CACHE_DIR", str(tmp_path / "cache"))
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "evals"))
+    try:
+        import benchmark_mapper
+    finally:
+        sys.path.pop(0)
+    rc = benchmark_mapper.main(["--format", "json"])
+    assert rc == 0
