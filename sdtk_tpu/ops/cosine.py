@@ -65,6 +65,7 @@ def cosine_pallas(queries: jax.Array, profiles: jax.Array, tile_q: int = 128,
     Shapes are padded to tile multiples.
     """
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     q, d = queries.shape
     n, _ = profiles.shape
@@ -87,10 +88,11 @@ def cosine_pallas(queries: jax.Array, profiles: jax.Array, tile_q: int = 128,
         interpret=jax.default_backend() != "tpu",
         grid=(qp // tile_q, np_ // tile_n),
         in_specs=[
-            pl.BlockSpec((tile_q, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((tile_n, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((tile_q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_q, tile_n), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((tile_q, tile_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((qp, np_), jnp.float32),
     )(queries, profiles)
     return out[:q, :n]

@@ -188,12 +188,12 @@ def fbank_frames_pallas(
         interpret=jax.default_backend() != "tpu",
         grid=(m_pad // tile,),
         in_specs=[
-            pl.BlockSpec((tile, win), lambda i: (i, 0)),
-            pl.BlockSpec((win, n_freqs), lambda i: (0, 0)),
-            pl.BlockSpec((win, n_freqs), lambda i: (0, 0)),
-            pl.BlockSpec((n_freqs, cfg.n_mels), lambda i: (0, 0)),
+            pl.BlockSpec((tile, win), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, n_freqs), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, n_freqs), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_freqs, cfg.n_mels), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, cfg.n_mels), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((tile, cfg.n_mels), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, cfg.n_mels), jnp.float32),
     )(
         frames,
