@@ -90,3 +90,31 @@ def test_sharded_inference_matches_single_device():
     apply = jax.jit(model.apply)
     got = np.asarray(apply(sharded_vars, jax.device_put(feats, batch_sharding(mesh))))
     np.testing.assert_allclose(ref, got, atol=2e-4, rtol=1e-3)
+
+
+def test_scaling_benchmark_harness(tmp_path, monkeypatch):
+    """The DP scaling harness runs on the virtual mesh and reports
+    per-mesh-size throughput (numbers only meaningful on real chips)."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+    from pathlib import Path
+
+    monkeypatch.setenv("SDTK_JAX_CACHE_DIR", str(tmp_path / "cache"))
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "evals"))
+    try:
+        import benchmark_scaling
+    finally:
+        sys.path.pop(0)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = benchmark_scaling.main(
+            ["--devices", "1,2", "--iters", "2", "--channels", "64",
+             "--per-device-batch", "2", "--seconds", "1.0"]
+        )
+    assert rc == 0
+    lines = [json.loads(l) for l in buf.getvalue().splitlines()]
+    assert lines[-1]["note"].startswith("virtual CPU mesh")
+    assert [r["devices"] for r in lines[-1]["summary"]] == [1, 2]
