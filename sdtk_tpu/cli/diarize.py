@@ -21,6 +21,7 @@ def cmd_run(args) -> int:
         hop_seconds=args.hop,
         max_speakers=args.max_speakers,
         n_speakers=args.num_speakers,
+        resegment=not args.no_resegment,
     )
     try:
         result = Diarizer(args.backend, cfg).diarize_file(args.audio)
@@ -81,6 +82,8 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--recording-id", default="rec")
     parser.add_argument("--eval-rttm", help="Reference RTTM: print DER after diarizing")
     parser.add_argument("--collar", type=float, default=0.25)
+    parser.add_argument("--no-resegment", action="store_true",
+                        help="Disable the sticky-HMM Viterbi smoothing pass")
     parser.set_defaults(func=cmd_run)
     args = parser.parse_args(argv)
     return args.func(args)

@@ -30,6 +30,7 @@ class DiarizeConfig:
     vad_threshold_db: float = -40.0  # relative to peak RMS
     min_segment_seconds: float = 0.0
     embed_chunk: int = 128  # windows per device batch (static shape)
+    resegment: bool = True  # sticky-HMM Viterbi smoothing of window labels
 
 
 def energy_vad_mask(
@@ -108,6 +109,10 @@ class Diarizer:
         labels, n_spk = spectral_cluster(
             emb, n_speakers=cfg.n_speakers, max_speakers=cfg.max_speakers
         )
+        if cfg.resegment:
+            from ..cluster.resegment import resegment
+
+            labels = resegment(emb, labels, n_spk)
         segments = labels_to_segments(
             labels, speech_starts, cfg.window_seconds, prefix="S"
         )

@@ -19,6 +19,15 @@ def enable(cache_dir: str | Path | None = None) -> None:
         return
     import jax
 
+    # Honor SDTK_FORCE_CPU=1 (hermetic CLI runs, CI) — the axon
+    # sitecustomize pins jax_platforms=axon, so the env var JAX_PLATFORMS
+    # alone cannot override it; the config update after import can.
+    if os.environ.get("SDTK_FORCE_CPU", "").lower() in ("1", "true", "yes"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     path = Path(
         cache_dir
         or os.environ.get("SDTK_JAX_CACHE_DIR", os.path.expanduser("~/.cache/sdtk_tpu/jaxcache"))

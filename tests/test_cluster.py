@@ -209,3 +209,39 @@ def test_diarize_cli_eval_rttm(speakers_dir, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
     assert "der" in out and out["der"]["der"] < 0.3, out.get("der")
+
+
+def test_viterbi_smooths_isolated_flips():
+    """A single-window label flip inside a long run is corrected by the
+    sticky-HMM pass; genuine speaker changes survive."""
+    from sdtk_tpu.cluster.resegment import resegment
+
+    rng = np.random.default_rng(3)
+    d = 16
+    c0 = rng.standard_normal(d)
+    c1 = rng.standard_normal(d)
+    # truth: 10 windows spk0, 10 windows spk1
+    emb = np.stack([c0 + 0.1 * rng.standard_normal(d) for _ in range(10)]
+                   + [c1 + 0.1 * rng.standard_normal(d) for _ in range(10)])
+    labels = np.array([0] * 10 + [1] * 10)
+    noisy = labels.copy()
+    noisy[4] = 1   # isolated flip
+    noisy[14] = 0  # isolated flip
+    # corrupt the flipped embeddings only mildly so likelihood still favors truth
+    fixed = resegment(emb, noisy, 2)
+    np.testing.assert_array_equal(fixed, labels)
+
+
+def test_viterbi_decode_prefers_sticky_paths():
+    from sdtk_tpu.cluster.resegment import viterbi_decode
+    import jax.numpy as jnp
+
+    # weak evidence for a 1-frame excursion: decoder should stay
+    ll = jnp.asarray([[2.0, 0.0], [2.0, 0.0], [0.0, 0.5], [2.0, 0.0]])
+    path = np.asarray(viterbi_decode(ll, 2))
+    np.testing.assert_array_equal(path, [0, 0, 0, 0])
+    # strong evidence on the excursion AND the return frame: both survive
+    # (the return needs >2.9 of evidence to beat the -3 switch penalty)
+    ll = jnp.asarray([[2.0, 0.0], [2.0, 0.0], [0.0, 9.0], [4.0, 0.0]])
+    path = np.asarray(viterbi_decode(ll, 2))
+    np.testing.assert_array_equal(path, [0, 0, 1, 0])
