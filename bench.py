@@ -11,6 +11,7 @@ Baseline target (BASELINE.md): 1000 audio-s/s/chip end-to-end.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -32,7 +33,9 @@ def main() -> int:
     model = EcapaTdnn(EcapaConfig(channels=512))
 
     window_s = 3.0
-    batch = 64  # 192 audio-seconds per step
+    # Steps are dispatch-latency-bound through the device link at small
+    # batch; a larger batch amortizes it (override to A/B new sizes).
+    batch = int(os.environ.get("SDTK_BENCH_BATCH", "256"))
     n_samples = int(window_s * cfg.sample_rate)
 
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, cfg.n_mels)))

@@ -37,7 +37,7 @@ def _getch() -> str:
         return (input("> ").strip() or " ")[0]
 
 
-def _render(session: RV.ReviewSession, idx: int) -> None:
+def _render_plain(session: RV.ReviewSession, idx: int) -> None:
     seg = session.segments[idx]
     total = len(session.segments)
     print()
@@ -51,6 +51,47 @@ def _render(session: RV.ReviewSession, idx: int) -> None:
     if seg.decision:
         print(f"  decision: {seg.decision}")
     print(f"  {KEYHELP}")
+
+
+def _render(session: RV.ReviewSession, idx: int) -> None:
+    """rich Panel rendering on a tty (reference speaker-review:451-549),
+    plain text everywhere else (pipes, tests, dumb terminals)."""
+    if not sys.stdout.isatty():
+        return _render_plain(session, idx)
+    try:
+        from rich.console import Console
+        from rich.panel import Panel
+        from rich.table import Table
+        from rich.text import Text
+    except ImportError:
+        return _render_plain(session, idx)
+
+    seg = session.segments[idx]
+    total = len(session.segments)
+    table = Table.grid(padding=(0, 1))
+    table.add_column(style="bold cyan", justify="right")
+    table.add_column()
+    table.add_row("label", seg.speaker_label)
+    conf_style = {"confirmed": "green", "high": "green", "medium": "yellow",
+                  "low": "red"}.get(seg.confidence, "dim")
+    table.add_row(
+        "assigned",
+        f"{seg.speaker_id or '(unassigned)'} "
+        f"[{conf_style}]({seg.confidence}, score {seg.score:.2f})[/]",
+    )
+    table.add_row("time", f"{seg.start:.1f}s – {seg.end:.1f}s")
+    if seg.text:
+        table.add_row("text", seg.text[:200])
+    if seg.decision:
+        table.add_row("decision", f"[bold]{seg.decision}[/]")
+    Console().print(
+        Panel(
+            table,
+            title=f"segment {idx + 1}/{total} · {session.recording_b3sum[:8]}…",
+            subtitle=Text(KEYHELP),  # plain Text: [p] is a key hint, not markup
+            border_style="blue",
+        )
+    )
 
 
 def cmd_review(args) -> int:
