@@ -16,18 +16,38 @@ from .common import add_quiet, emit_json, err, info
 def cmd_run(args) -> int:
     from ..pipeline.diarize import DiarizeConfig, Diarizer, to_rttm, to_transcript_skeleton
 
-    cfg = DiarizeConfig(
-        window_seconds=args.window,
-        hop_seconds=args.hop,
-        max_speakers=args.max_speakers,
-        n_speakers=args.num_speakers,
-        resegment=not args.no_resegment,
-    )
-    try:
-        result = Diarizer(args.backend, cfg).diarize_file(args.audio)
-    except FileNotFoundError:
-        err(f"audio file not found: {args.audio}")
-        return 1
+    if args.longform:
+        from ..pipeline.longform import LongformConfig, LongformDiarizer
+        from ..utils.audio import load_audio
+
+        lcfg = LongformConfig(
+            window_seconds=args.window,
+            hop_seconds=args.hop,
+            max_speakers=args.max_speakers,
+            n_speakers=args.num_speakers,
+            resegment=not args.no_resegment,
+        )
+        try:
+            wav, _ = load_audio(args.audio, target_sr=lcfg.sample_rate)
+        except FileNotFoundError:
+            err(f"audio file not found: {args.audio}")
+            return 1
+        d = LongformDiarizer(cfg=lcfg)
+        result = d.diarize_waveform(wav)
+        info(args, f"longform mesh: {result['mesh_devices']} device(s)")
+    else:
+        cfg = DiarizeConfig(
+            window_seconds=args.window,
+            hop_seconds=args.hop,
+            max_speakers=args.max_speakers,
+            n_speakers=args.num_speakers,
+            resegment=not args.no_resegment,
+        )
+        try:
+            result = Diarizer(args.backend, cfg).diarize_file(args.audio)
+        except FileNotFoundError:
+            err(f"audio file not found: {args.audio}")
+            return 1
     info(args, f"{result['n_speakers']} speaker(s), {len(result['segments'])} segment(s)")
 
     if args.eval_rttm:
@@ -84,6 +104,9 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--collar", type=float, default=0.25)
     parser.add_argument("--no-resegment", action="store_true",
                         help="Disable the sticky-HMM Viterbi smoothing pass")
+    parser.add_argument("--longform", action="store_true",
+                        help="Mesh-parallel pipeline: time-sharded frontend, "
+                             "sharded embed, blockwise affinity (hour-scale audio)")
     parser.set_defaults(func=cmd_run)
     args = parser.parse_args(argv)
     return args.func(args)

@@ -96,23 +96,29 @@ class Diarizer:
         return np.concatenate(out, axis=0)
 
     def diarize_waveform(self, wav: np.ndarray) -> dict[str, Any]:
+        from ..utils.profiling import stage
+
         cfg = self.cfg
-        starts, keep = energy_vad_mask(
-            wav, cfg.sample_rate, cfg.window_seconds, cfg.hop_seconds,
-            cfg.vad_threshold_db,
-        )
+        with stage("diarize.vad"):
+            starts, keep = energy_vad_mask(
+                wav, cfg.sample_rate, cfg.window_seconds, cfg.hop_seconds,
+                cfg.vad_threshold_db,
+            )
         speech_starts = starts[keep]
         if len(speech_starts) == 0:
             return {"segments": [], "n_speakers": 0, "window_labels": []}
 
-        emb = self._embed_windows(wav, speech_starts)
-        labels, n_spk = spectral_cluster(
-            emb, n_speakers=cfg.n_speakers, max_speakers=cfg.max_speakers
-        )
+        with stage("diarize.embed"):
+            emb = self._embed_windows(wav, speech_starts)
+        with stage("diarize.cluster"):
+            labels, n_spk = spectral_cluster(
+                emb, n_speakers=cfg.n_speakers, max_speakers=cfg.max_speakers
+            )
         if cfg.resegment:
             from ..cluster.resegment import resegment
 
-            labels = resegment(emb, labels, n_spk)
+            with stage("diarize.resegment"):
+                labels = resegment(emb, labels, n_spk)
         segments = labels_to_segments(
             labels, speech_starts, cfg.window_seconds, prefix="S"
         )

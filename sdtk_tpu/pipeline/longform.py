@@ -1,0 +1,223 @@
+"""Mesh-parallel diarization of hour-scale recordings (BASELINE config 5).
+
+One jitted program over a ``data``-axis mesh runs the WHOLE pipeline on
+device with the time axis sharded end-to-end:
+
+    waveform (N,) time-sharded
+      → sharded log-mel frontend   (ppermute halo exchange, psum CMN)
+      → feature windows            (reshape framing, no gathers)
+      → ECAPA embeddings           (window axis data-sharded, GSPMD)
+      → blockwise refined affinity (all_gather + row blocks)
+      → normalized Laplacian → blocked subspace eigensolve (psum-free
+        matmuls; orthonormalization on replicated (N,k))
+      → spectral embedding → k-means labels
+
+The reference handles long recordings by cloud offload plus host-side
+segment capping (speaker_samples:452-463, SURVEY.md §5.7); here an hour of
+audio that cannot fit one chip's HBM is diarized by sharding time across
+the slice.  Single-chip behavior is identical (mesh of 1).
+
+Works unchanged on the virtual CPU mesh
+(``XLA_FLAGS=--xla_force_host_platform_device_count=8``) for tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import numpy as np
+
+from ..cluster.der import Segment
+
+
+@dataclass(frozen=True)
+class LongformConfig:
+    window_seconds: float = 1.5
+    hop_seconds: float = 0.75
+    sample_rate: int = 16000
+    max_speakers: int = 8
+    n_speakers: int | None = None
+    vad_threshold_db: float = -40.0  # on window RMS, relative to loudest
+    resegment: bool = True
+
+
+def _frame_axis0(x, win: int, hop: int):
+    """(T, M) → (W, win, M) sliding windows along axis 0 via the same
+    shifted-reshape trick as fbank.frame_signal (no gathers)."""
+    import jax.numpy as jnp
+
+    t, m = x.shape
+    w = max(1 + (t - win) // hop, 1)
+    k = -(-win // hop)
+    pad = (w + k) * hop - t
+    xp = jnp.pad(x, ((0, max(pad, 0)), (0, 0)))
+    blocks = xp.reshape(-1, hop, m)
+    shifted = [blocks[i : i + w] for i in range(k)]
+    frames = jnp.concatenate(shifted, axis=1)[:, :win, :]
+    return frames
+
+
+class LongformDiarizer:
+    """Owns the mesh, the model params, and one compiled program per
+    (padded) input length."""
+
+    def __init__(
+        self,
+        mesh=None,
+        cfg: LongformConfig = LongformConfig(),
+        channels: int = 512,
+        params_path: str | None = None,
+        seed: int = 0,
+    ):
+        from ..utils import jaxcache
+
+        jaxcache.enable()
+        import jax
+
+        from ..backends.tpu import _EmbedEngine
+
+        if mesh is None:
+            from ..parallel import make_mesh
+
+            mesh = make_mesh(f"data={len(jax.devices())}")
+        self.mesh = mesh
+        self.cfg = cfg
+        # Reuse the identify engine's model+params loading (same checkpoint
+        # resolution rules as the tpu backend).
+        self._engine = _EmbedEngine("ecapa", channels, 1, params_path, seed)
+        self._programs: dict[int, Any] = {}
+
+    # -- program construction -------------------------------------------
+
+    def _build(self, n_samples: int):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..cluster.affinity import refine_affinity  # noqa: F401 (rule ref)
+        from ..cluster.spectral import (
+            kmeans,
+            normalized_laplacian,
+            topk_eigvecs_subspace,
+        )
+        from ..ops.longform import sharded_affinity_rows, sharded_log_mel
+
+        mesh = self.mesh
+        cfg = self.cfg
+        fcfg = self._engine.cfg
+        engine = self._engine
+        n_dev = mesh.shape["data"]
+
+        hop_frames = int(cfg.hop_seconds * fcfg.frames_per_second)
+        win_frames = int(cfg.window_seconds * fcfg.frames_per_second)
+        k_eig = cfg.max_speakers + 1
+
+        @partial(jax.jit, static_argnums=())
+        def program(wav):
+            feats = sharded_log_mel(wav, mesh, fcfg)  # (T, n_mels)
+            windows = _frame_axis0(feats, win_frames, hop_frames)
+            w = windows.shape[0]
+            # pad the window count to the mesh size and shard the batch
+            w_pad = -(-w // n_dev) * n_dev
+            windows = jnp.pad(windows, ((0, w_pad - w), (0, 0), (0, 0)))
+            windows = jax.lax.with_sharding_constraint(
+                windows, NamedSharding(mesh, P("data", None, None))
+            )
+            mask = jnp.ones(windows.shape[:2], dtype=bool)
+            emb = engine.model.apply(engine.variables, windows, mask=mask)
+            emb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
+            )
+
+            # window log-energy for VAD (mean log-mel per window)
+            energy = windows.mean(axis=(1, 2))
+
+            rows = sharded_affinity_rows(emb, mesh)  # (W_pad, W_pad) row blocks
+            aff = jnp.maximum(rows, rows.T)  # symmetrize (GSPMD transpose)
+            eye = jnp.eye(w_pad, dtype=bool)
+            row_max = aff.max(axis=1, keepdims=True)
+            aff = jnp.where(eye, row_max, aff)
+            lap = normalized_laplacian(aff)
+            eigvals, eigvecs = topk_eigvecs_subspace(lap, k_eig)
+            # row normalization happens on host AFTER slicing to the
+            # estimated k (normalizing all k_eig columns first would give
+            # a different spectral embedding)
+            return emb, eigvals, eigvecs, energy, w
+
+        return program
+
+    # -- public API ------------------------------------------------------
+
+    def diarize_waveform(self, wav: np.ndarray) -> dict[str, Any]:
+        import jax.numpy as jnp
+
+        from ..cluster.spectral import eigengap_count, kmeans
+        from ..ops.longform import pad_for_sharding
+
+        cfg = self.cfg
+        fcfg = self._engine.cfg
+        n_dev = self.mesh.shape["data"]
+        # pad so every device holds an equal time chunk
+        q = n_dev * fcfg.hop_length
+        n_pad = -(-len(wav) // q) * q
+        key = n_pad
+        if key not in self._programs:
+            self._programs[key] = self._build(n_pad)
+        wav_j = jnp.pad(jnp.asarray(wav, jnp.float32), (0, n_pad - len(wav)))
+
+        from ..utils.profiling import stage
+
+        with stage("longform.device_program"):
+            emb, eigvals, eigvecs, energy, w = self._programs[key](wav_j)
+        w = int(w)
+        emb = np.asarray(emb)[:w]
+        eigvecs_np = np.asarray(eigvecs)[:w]
+        energy = np.asarray(energy)[:w]
+
+        # VAD heuristic: mean log-mel per window relative to the loudest
+        # window (log scale, so a fixed offset ≈ a relative-dB threshold)
+        keep = energy > (energy.max() + cfg.vad_threshold_db / 8.686)
+        if not keep.any():
+            keep[:] = True
+
+        n_spk = cfg.n_speakers
+        if n_spk is None:
+            n_spk = int(eigengap_count(np.asarray(eigvals), cfg.max_speakers))
+        n_spk = max(1, min(n_spk, cfg.max_speakers))
+
+        if n_spk == 1:
+            labels = np.zeros(w, dtype=np.int32)
+        else:
+            spec = eigvecs_np[:, :n_spk]
+            spec = spec / np.maximum(
+                np.linalg.norm(spec, axis=1, keepdims=True), 1e-12
+            )
+            labels = np.asarray(
+                kmeans(jnp.asarray(spec), n_spk), dtype=np.int32
+            )
+        if cfg.resegment and n_spk > 1:
+            from ..cluster.resegment import resegment
+
+            labels = resegment(emb, labels, n_spk)
+
+        starts = np.arange(w) * cfg.hop_seconds
+        from ..cluster.der import labels_to_segments
+
+        segments = labels_to_segments(
+            labels[keep], starts[keep], cfg.window_seconds, prefix="S"
+        )
+        order: dict[str, str] = {}
+        renamed: list[Segment] = []
+        for s, e, lbl in segments:
+            if lbl not in order:
+                order[lbl] = f"S{len(order) + 1}"
+            renamed.append((s, e, order[lbl]))
+        return {
+            "segments": renamed,
+            "n_speakers": int(n_spk),
+            "window_labels": labels.tolist(),
+            "window_starts": starts.tolist(),
+            "mesh_devices": int(n_dev),
+        }
