@@ -31,6 +31,7 @@ def train(
     mesh_spec: str = "",
     seed: int = 0,
     out_path: str | Path | None = None,
+    resume_path: str | Path | None = None,
     log_every: int = 20,
     log=print,
 ):
@@ -66,6 +67,19 @@ def train(
     state = create_train_state(
         model, jax.random.PRNGKey(seed), tcfg, jnp.zeros((1, t_frames, fcfg.n_mels))
     )
+    if resume_path:
+        # Warm-start the backbone from a saved inference checkpoint
+        # (params + batch_stats; the AAM head and optimizer state start
+        # fresh — fine for continued training on the same corpus).
+        import flax.serialization
+
+        template = {"params": state.params, "batch_stats": state.batch_stats}
+        with open(resume_path, "rb") as f:
+            loaded = flax.serialization.from_bytes(template, f.read())
+        state = state.replace(
+            params=loaded["params"], batch_stats=loaded["batch_stats"]
+        )
+        log(f"resumed backbone from {resume_path}")
     state = shard_state(state, mesh)
     step_fn = make_distributed_step(mesh, tcfg)
 
@@ -119,6 +133,7 @@ def main(argv=None) -> int:
     p.add_argument("--mesh", default="")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out")
+    p.add_argument("--resume", help="Warm-start from a saved .msgpack checkpoint")
     args = p.parse_args(argv)
     train(
         steps=args.steps,
@@ -131,6 +146,7 @@ def main(argv=None) -> int:
         mesh_spec=args.mesh,
         seed=args.seed,
         out_path=args.out,
+        resume_path=args.resume,
         log=lambda msg: print(msg, file=sys.stderr),
     )
     return 0

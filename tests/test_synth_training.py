@@ -72,3 +72,20 @@ def test_short_training_run(tmp_path):
     emb = backend.embed_waveform(synth.synth_utterance(0, 0, seconds=1.0))
     assert emb.shape == (192,)
     assert np.isfinite(emb).all()
+
+
+def test_train_resume_roundtrip(tmp_path):
+    """Save → warm-start resume → save again, tiny model on CPU mesh."""
+    from sdtk_tpu.training import train
+
+    logs = []
+    out1 = tmp_path / "m1.msgpack"
+    train(steps=2, n_speakers=4, batch=8, seconds=1.0, crop_seconds=1.0,
+          channels=32, out_path=out1, log_every=1, log=logs.append)
+    assert out1.exists()
+    out2 = tmp_path / "m2.msgpack"
+    train(steps=1, n_speakers=4, batch=8, seconds=1.0, crop_seconds=1.0,
+          channels=32, out_path=out2, resume_path=out1, log_every=1,
+          log=logs.append)
+    assert out2.exists()
+    assert any("resumed backbone" in l for l in logs)
