@@ -270,3 +270,60 @@ def test_review_session_flow(speakers_dir, tmp_path, monkeypatch):
     status = RV.finish_review(session)
     assert status == "complete"
     assert catalog.compute_status(catalog.load_entry(b3)) == "complete"
+
+
+def test_report_stale_and_confidence_buckets(speakers_dir, tmp_path, monkeypatch):
+    """Stale detection (>30 d without progress) and low-confidence listing
+    (reference speaker-report:344-412)."""
+    import json as _json
+
+    from conftest import make_wav
+    from sdtk_tpu.pipeline import report as R
+    from sdtk_tpu.store import assignments as AS, catalog
+
+    monkeypatch.setenv("SPEAKER_DETECTION_BACKEND", "fake")
+    wav = make_wav(tmp_path / "old.wav", seconds=1.0, freq=300, seed=77)
+    entry = catalog.add_recording(wav, context="standup")
+    b3 = entry["recording"]["b3sum"]
+    # backdate the entry far past the staleness window (save_entry would
+    # re-stamp updated_at, so write the YAML directly)
+    from sdtk_tpu.store.catalog import entry_path
+    from sdtk_tpu.utils.ioutil import save_yaml
+
+    entry["updated_at"] = "2020-01-01T00:00:00+00:00"
+    save_yaml(entry_path(b3), entry)
+
+    AS.save_assignments(
+        b3, tmp_path / "tr.json",
+        {
+            "A": {"speaker_id": "alice", "confidence": "high", "score": 0.8},
+            "B": {"speaker_id": None, "confidence": "unassigned", "score": 0.1},
+        },
+        method="multi-signal",
+    )
+
+    stats = R.compute_system_stats()
+    assert len(stats.stale_recordings) == 1
+    assert stats.stale_recordings[0]["b3sum"] == b3
+    assert stats.assigned_labels == 1 and stats.unassigned_labels == 1
+    assert any(lc["label"] == "B" for lc in stats.low_confidence)
+    assert stats.contexts["standup"]["recordings"] == 1
+
+    recs = R.generate_recommendations(stats)
+    assert any("stale" in r for r in recs)
+    assert any("unassigned" in r for r in recs)
+
+
+def test_report_cli_all_subcommands(speakers_dir, tmp_path, monkeypatch, capsys):
+    """Every report subcommand runs and emits valid JSON."""
+    import json as _json
+
+    from sdtk_tpu.cli import report as cli_report
+
+    monkeypatch.setenv("SPEAKER_DETECTION_BACKEND", "fake")
+    for sub in ["status", "coverage", "confidence", "stale", "speakers",
+                "contexts"]:
+        rc = cli_report.main([sub, "--format", "json"])
+        assert rc == 0, sub
+        out = capsys.readouterr().out
+        _json.loads(out)
