@@ -176,6 +176,7 @@ Decoded resample(const float* x, int64_t n, int sr_in, int sr_out) {
   int64_t up = sr_out / g, down = sr_in / g;
 
   const int kHalfTaps = 16;  // per-side zero crossings at the lower rate
+  const int kTaps = 2 * kHalfTaps;
   double cutoff = (up > down) ? 1.0 : (double)up / down;  // anti-alias
   int64_t n_out = (n * up) / down;
 
@@ -185,20 +186,46 @@ Decoded resample(const float* x, int64_t n, int sr_in, int sr_out) {
     return out;
   }
 
-  // Output sample t: position in input = t*down/up.
-  for (int64_t t = 0; t < n_out; ++t) {
-    double center = (double)t * down / up;
-    int64_t lo = (int64_t)std::floor(center) - kHalfTaps + 1;
-    int64_t hi = (int64_t)std::floor(center) + kHalfTaps;
-    double acc = 0.0;
-    for (int64_t i = lo; i <= hi; ++i) {
-      if (i < 0 || i >= n) continue;
-      double d = (center - i) * cutoff;
+  // Output sample t sits at input position center = t*down/up
+  //   = c + p/up  with  c = (t*down)/up,  p = (t*down)%up.
+  // The tap weight for input index i = c - kHalfTaps + 1 + k depends only
+  // on (p, k), so precompute the polyphase filter bank once: the hot loop
+  // is then a pure 32-tap FIR MAC (no per-sample transcendentals — the
+  // naive form costs ~64 sin/cos per output sample and loses to NumPy).
+  std::vector<float> bank((size_t)up * kTaps);
+  for (int64_t p = 0; p < up; ++p) {
+    double frac = (double)p / up;
+    for (int k = 0; k < kTaps; ++k) {
+      double dist = (kHalfTaps - 1 - k) + frac;  // center - i
+      double d = dist * cutoff;
       double sinc = (std::abs(d) < 1e-12) ? 1.0 : std::sin(M_PI * d) / (M_PI * d);
-      double w = 0.5 + 0.5 * std::cos(M_PI * (center - i) / kHalfTaps);  // Hann
-      acc += x[i] * sinc * cutoff * w;
+      double w = 0.5 + 0.5 * std::cos(M_PI * dist / kHalfTaps);  // Hann
+      bank[(size_t)p * kTaps + k] = static_cast<float>(sinc * cutoff * w);
     }
-    out.data[t] = static_cast<float>(acc);
+  }
+
+  int64_t c = 0, p = 0;  // running (t*down) divmod up — no int division
+  for (int64_t t = 0; t < n_out; ++t) {
+    const float* h = &bank[(size_t)p * kTaps];
+    int64_t lo = c - kHalfTaps + 1;
+    float acc = 0.0f;
+    if (lo >= 0 && lo + kTaps <= n) {
+      const float* xp = x + lo;
+      for (int k = 0; k < kTaps; ++k) acc += xp[k] * h[k];
+    } else {
+      for (int k = 0; k < kTaps; ++k) {
+        int64_t i = lo + k;
+        if (i >= 0 && i < n) acc += x[i] * h[k];
+      }
+    }
+    out.data[t] = acc;
+    // advance center by down/up: (c*up + p) += down
+    c += down / up;
+    p += down % up;
+    if (p >= up) {
+      c += 1;
+      p -= up;
+    }
   }
   out.n = n_out;
   out.sample_rate = sr_out;

@@ -61,3 +61,23 @@ def test_batch_loader_mixed_errors(tmp_path):
     batch = audio.load_audio_batch([good, other], 16000)
     assert len(batch) == 2
     assert abs(len(batch[1]) - 8000) <= 2  # resampled 0.5s → 8000 samples
+
+
+def test_native_resample_parity_all_ratios(tmp_path):
+    """Polyphase table rewrite must stay within 0.5% of scipy across
+    down/up/awkward ratios (44.1k/22.05k/48k/8k → 16k)."""
+    from sdtk_tpu.utils.audio import load_audio, resample, save_wav
+
+    for sr_in in (44100, 22050, 48000, 8000):
+        t = np.arange(int(0.5 * sr_in)) / sr_in
+        x = (0.5 * np.sin(2 * np.pi * 440 * t)
+             + 0.2 * np.sin(2 * np.pi * 1234 * t)).astype(np.float32)
+        p = tmp_path / f"r{sr_in}.wav"
+        save_wav(p, x, sr_in)
+        y_native, sr = load_audio(p, target_sr=16000)
+        assert sr == 16000
+        y_scipy = resample(x, sr_in, 16000)
+        m = min(len(y_native), len(y_scipy))
+        a, b = y_native[200:m - 200], y_scipy[200:m - 200]
+        rel = np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-9)
+        assert rel < 0.005, (sr_in, rel)
