@@ -14,6 +14,9 @@ case "${1:-}" in
   --evals)
     python evals/benchmark_identify.py --backend "${2:-fake}"
     python evals/benchmark_der.py --backend "${2:-fake}"
+    python evals/benchmark_mapper.py --format json | python -c 'import json,sys; d=json.load(sys.stdin); print(json.dumps({"benchmark":"mapper","passed":d["passed"],"total":d["total"],"mean_accuracy":d["mean_accuracy"]}))'
+    python evals/benchmark_streaming.py --backend "${2:-fake}"
+    python evals/benchmark_decode.py --files 16 --seconds 10
     ;;
   "")
     exec python -m pytest tests/ -x -q
