@@ -134,26 +134,19 @@ def cmd_remove(args) -> int:
 
 
 def cmd_query(args) -> int:
-    import shutil
-    import subprocess
-    import sys
-
     entries = C.list_entries()
     for e in entries:
         e["status"] = C.compute_status(e)
-    jq = shutil.which("jq")
-    if jq:
-        proc = subprocess.run(
-            [jq, args.expression], input=json.dumps(entries), capture_output=True, text=True
-        )
-        sys.stdout.write(proc.stdout)
-        sys.stderr.write(proc.stderr)
-        return proc.returncode
-    if args.expression.strip() in (".", ""):
-        emit_json(entries)
-        return 0
-    err("jq not available; only '.' supported")
-    return 1
+    from ..utils.jqlite import JqError, query_lines
+
+    try:
+        out = query_lines(args.expression, entries)
+    except JqError as e:
+        err(str(e))
+        return 1
+    if out:
+        print(out)
+    return 0
 
 
 def cmd_create_context(args) -> int:

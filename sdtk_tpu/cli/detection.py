@@ -175,37 +175,20 @@ def cmd_export(args) -> int:
 
 
 def cmd_query(args) -> int:
-    """jq-expression query.  No jq binary in this environment: supports the
-    common path expressions (.field, .[], select()) via a tiny evaluator, or
-    exact-match passthrough of the full JSON with '.'."""
+    """jq-expression query over all speaker profiles, evaluated by the
+    first-party jq-subset engine (utils/jqlite.py) — no jq binary needed
+    (reference speaker_detection:705-728 shells out to jq)."""
     speakers = P.list_all_speakers()
-    expr = args.expression.strip()
-    if expr in (".", ""):
-        emit_json(speakers)
-        return 0
-    import shutil
-    import subprocess
+    from ..utils.jqlite import JqError, query_lines
 
-    jq = shutil.which("jq")
-    if jq:
-        proc = subprocess.run(
-            [jq, expr], input=json.dumps(speakers), capture_output=True, text=True
-        )
-        sys.stdout.write(proc.stdout)
-        sys.stderr.write(proc.stderr)
-        return proc.returncode
-    # minimal fallback: ".[].field" and ".[] | .field"
-    m = expr.replace(" ", "")
-    if m.startswith(".[]"):
-        field = m[3:].lstrip("|").lstrip(".")
-        for s in speakers:
-            val = s
-            for part in field.split(".") if field else []:
-                val = val.get(part) if isinstance(val, dict) else None
-            print(json.dumps(val, ensure_ascii=False))
-        return 0
-    err("jq not available and expression too complex for the fallback evaluator")
-    return 1
+    try:
+        out = query_lines(args.expression, speakers)
+    except JqError as e:
+        err(str(e))
+        return 1
+    if out:
+        print(out)
+    return 0
 
 
 def cmd_enroll(args) -> int:
