@@ -1,7 +1,7 @@
 """Umbrella dispatcher: ``python -m sdtk_tpu <tool> [...]``.
 
 Tools: detection, catalog, samples, segments, assign, report, process,
-review, llm, diarize, train, bench.
+review, llm, diarize, train.
 """
 
 from __future__ import annotations

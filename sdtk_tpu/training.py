@@ -32,6 +32,8 @@ def train(
     seed: int = 0,
     out_path: str | Path | None = None,
     resume_path: str | Path | None = None,
+    ckpt_dir: str | Path | None = None,
+    ckpt_every: int = 200,
     log_every: int = 20,
     log=print,
 ):
@@ -80,6 +82,16 @@ def train(
             params=loaded["params"], batch_stats=loaded["batch_stats"]
         )
         log(f"resumed backbone from {resume_path}")
+    if ckpt_dir:
+        # Full train-state resume (params + optimizer + step) if a prior
+        # run left a checkpoint — crash recovery for long runs.
+        from .parallel.checkpoint import latest_checkpoint, restore_train_state
+
+        latest = latest_checkpoint(ckpt_dir)
+        if latest is not None:
+            state = restore_train_state(latest, state)
+            log(f"restored full train state from {latest} "
+                f"(step {int(state.step)})")
     state = shard_state(state, mesh)
     step_fn = make_distributed_step(mesh, tcfg)
 
@@ -104,6 +116,11 @@ def train(
                 f"acc {float(metrics['acc']):5.3f}  "
                 f"({(time.time() - t_start):6.1f}s)"
             )
+        if ckpt_dir and ckpt_every and (step + 1) % ckpt_every == 0:
+            from .parallel.checkpoint import save_train_state
+
+            p = save_train_state(ckpt_dir, state, step=int(state.step))
+            log(f"checkpoint -> {p}")
 
     # Persist inference variables (params + batch_stats) for TpuBackend.
     import flax.serialization
@@ -134,6 +151,8 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out")
     p.add_argument("--resume", help="Warm-start from a saved .msgpack checkpoint")
+    p.add_argument("--ckpt-dir", help="Periodic full-state checkpoints (crash resume)")
+    p.add_argument("--ckpt-every", type=int, default=200)
     args = p.parse_args(argv)
     train(
         steps=args.steps,
@@ -147,6 +166,8 @@ def main(argv=None) -> int:
         seed=args.seed,
         out_path=args.out,
         resume_path=args.resume,
+        ckpt_dir=args.ckpt_dir,
+        ckpt_every=args.ckpt_every,
         log=lambda msg: print(msg, file=sys.stderr),
     )
     return 0

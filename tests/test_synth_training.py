@@ -89,3 +89,20 @@ def test_train_resume_roundtrip(tmp_path):
           log=logs.append)
     assert out2.exists()
     assert any("resumed backbone" in l for l in logs)
+
+
+def test_train_crash_resume_from_checkpoint(tmp_path):
+    """Periodic full-state checkpoints; a second run restores step count."""
+    from sdtk_tpu.training import train
+
+    logs = []
+    ck = tmp_path / "ckpts"
+    train(steps=2, n_speakers=4, batch=8, seconds=1.0, crop_seconds=1.0,
+          channels=32, out_path=tmp_path / "a.msgpack", ckpt_dir=ck,
+          ckpt_every=1, log_every=1, log=logs.append)
+    assert any("checkpoint ->" in l for l in logs)
+    logs2 = []
+    train(steps=1, n_speakers=4, batch=8, seconds=1.0, crop_seconds=1.0,
+          channels=32, out_path=tmp_path / "b.msgpack", ckpt_dir=ck,
+          ckpt_every=0, log_every=1, log=logs2.append)
+    assert any("restored full train state" in l and "step 2" in l for l in logs2)
