@@ -134,3 +134,7 @@ def describe_migrations() -> str:
         doc = (fn.__doc__ or "").strip().splitlines()[0]
         lines.append(f"  v{a} -> v{b}: {doc}")
     return "\n".join(lines)
+
+
+if __name__ == "__main__":  # reference migrations.py:302-303
+    print(describe_migrations())
