@@ -148,3 +148,29 @@ def test_tpu_backend_end_to_end(speakers_dir, tmp_path, monkeypatch):
     res = ID.identify(a2, threshold=-1.0)  # random-init model: no threshold
     assert res and res[0]["speaker_id"] == "alice"
     assert res[0]["trust_level"] == "low"
+
+
+def test_backends_yaml_registry_override(speakers_dir, tmp_path, monkeypatch):
+    """$SPEAKER_BACKENDS_CONFIG yaml adds/overrides registry entries
+    (reference base.py:212-269 + backends.yaml)."""
+    import sdtk_tpu.backends.base as B
+
+    cfg = tmp_path / "backends.yaml"
+    cfg.write_text(
+        "backends:\n"
+        "  myfake: sdtk_tpu.backends.fake:FakeBackend\n"
+        "  dictstyle:\n"
+        "    class: sdtk_tpu.backends.fake:FakeBackend\n"
+    )
+    monkeypatch.setenv("SPEAKER_BACKENDS_CONFIG", str(cfg))
+    B.reload_backends_config()
+    try:
+        names = B.list_backends()
+        assert "myfake" in names and "dictstyle" in names and "tpu" in names
+        be = B.get_backend("myfake")
+        assert be.name == "fake"
+        with pytest.raises(ValueError):
+            B.get_backend("not-a-backend")
+    finally:
+        monkeypatch.delenv("SPEAKER_BACKENDS_CONFIG")
+        B.reload_backends_config()
