@@ -327,3 +327,49 @@ def test_report_cli_all_subcommands(speakers_dir, tmp_path, monkeypatch, capsys)
         assert rc == 0, sub
         out = capsys.readouterr().out
         _json.loads(out)
+
+
+def test_process_external_stt_seam(speakers_dir, tmp_path, monkeypatch):
+    """A fake stt_speechmatics.py on PATH is discovered by find_tool and
+    drives the external-transcriber path (reference speaker-process:163-177,
+    399-446): transcribe → register-transcript → assign."""
+    import os
+    import stat
+    import sys as _sys
+
+    from conftest import make_wav
+    from sdtk_tpu.pipeline import process as PR
+    from sdtk_tpu.store import catalog
+
+    monkeypatch.setenv("SPEAKER_DETECTION_BACKEND", "fake")
+    monkeypatch.setenv("SPEAKER_LLM_CACHE_DIR", str(tmp_path / "llm"))
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    tool = bindir / "stt_speechmatics.py"
+    tool.write_text(
+        f"#!{_sys.executable}\n"
+        "import json, sys\n"
+        "audio = sys.argv[1]; out = sys.argv[sys.argv.index('--output')+1]\n"
+        "doc = {'results': [{'type': 'word', 'start_time': 0.0,"
+        " 'end_time': 1.0, 'speaker': 'S1',"
+        " 'alternatives': [{'content': 'hello', 'speaker': 'S1'}]}]}\n"
+        "json.dump(doc, open(out, 'w'))\n"
+    )
+    tool.chmod(tool.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}{os.pathsep}{os.environ['PATH']}")
+
+    assert PR.find_tool("stt_speechmatics.py") == str(tool)
+    wav = make_wav(tmp_path / "ext.wav", seconds=2.0, freq=290, seed=31)
+    result = PR.process_single(wav, stt_backends=["speechmatics"],
+                               log=lambda m: None)
+    tr = PR.transcript_path_for(wav.resolve(), "speechmatics")
+    assert str(tr) in result["transcripts"] and tr.exists()
+    entry = catalog.load_entry(result["b3sum"])
+    assert entry["transcriptions"][0]["backend"] == "speechmatics"
+    assert "S1" in result["assignments"]
+    # external tool missing → RuntimeError (queue marks the item failed)
+    with pytest.raises(RuntimeError):
+        PR.process_single(
+            make_wav(tmp_path / "none.wav", seconds=1.0, freq=310, seed=32),
+            stt_backends=["deepgram"], log=lambda m: None)
