@@ -42,6 +42,7 @@ def cmd_run(args) -> int:
             max_speakers=args.max_speakers,
             n_speakers=args.num_speakers,
             resegment=not args.no_resegment,
+            detect_overlap=args.detect_overlap,
         )
         try:
             result = Diarizer(args.backend, cfg).diarize_file(args.audio)
@@ -74,6 +75,11 @@ def cmd_run(args) -> int:
                 {"start": s, "end": e, "speaker": l} for s, e, l in result["segments"]
             ],
         }
+        if "overlap_segments" in result:
+            payload["overlap_segments"] = [
+                {"start": s, "end": e, "speaker": l}
+                for s, e, l in result["overlap_segments"]
+            ]
         if "der" in result:
             payload["der"] = result["der"]
         out = json.dumps(payload, indent=2)
@@ -104,6 +110,9 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--collar", type=float, default=0.25)
     parser.add_argument("--no-resegment", action="store_true",
                         help="Disable the sticky-HMM Viterbi smoothing pass")
+    parser.add_argument("--detect-overlap", action="store_true",
+                        help="Flag windows with two active speakers; secondary "
+                             "segments appear as extra RTTM lines")
     parser.add_argument("--longform", action="store_true",
                         help="Mesh-parallel pipeline: time-sharded frontend, "
                              "sharded embed, blockwise affinity (hour-scale audio)")

@@ -31,6 +31,9 @@ class DiarizeConfig:
     min_segment_seconds: float = 0.0
     embed_chunk: int = 128  # windows per device batch (static shape)
     resegment: bool = True  # sticky-HMM Viterbi smoothing of window labels
+    detect_overlap: bool = False  # emit secondary-speaker segments
+    overlap_ratio: float = 0.8  # 2nd/1st centroid-similarity ratio gate
+    overlap_min_sim: float = 0.7  # absolute 2nd-best similarity floor
 
 
 def energy_vad_mask(
@@ -56,6 +59,43 @@ def energy_vad_mask(
     if not keep.any():
         keep[:] = True
     return starts / sr, keep
+
+
+def detect_overlap_windows(
+    emb: np.ndarray, labels: np.ndarray, n_spk: int,
+    ratio: float, min_sim: float,
+) -> list[tuple[int, int]]:
+    """Heuristic overlapped-speech detector.
+
+    A window whose second-best centroid similarity is both close to the
+    best (≥ ratio × best) and high in absolute terms (≥ min_sim) likely
+    contains two active speakers: its embedding sits between two cluster
+    centroids.  Returns (window_index, secondary_label) pairs.
+
+    (The reference has no overlap concept — Speechmatics emits one label
+    per word; this matters for DER on real meetings.)
+    """
+    e = emb / np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+    centroids = np.stack([
+        e[labels == k].mean(axis=0) if np.any(labels == k)
+        else np.zeros(e.shape[1])
+        for k in range(n_spk)
+    ])
+    centroids /= np.maximum(
+        np.linalg.norm(centroids, axis=-1, keepdims=True), 1e-12
+    )
+    sims = e @ centroids.T  # (N, K)
+    out: list[tuple[int, int]] = []
+    for i in range(len(e)):
+        row = sims[i]
+        top2 = np.argsort(row)[-2:][::-1]
+        best, second = top2[0], top2[1]
+        if row[second] >= min_sim and row[second] >= ratio * row[best]:
+            # secondary is whichever of the two is NOT the assigned label
+            sec = second if labels[i] == best else best
+            if sec != labels[i]:
+                out.append((i, int(sec)))
+    return out
 
 
 class Diarizer:
@@ -119,6 +159,12 @@ class Diarizer:
 
             with stage("diarize.resegment"):
                 labels = resegment(emb, labels, n_spk)
+
+        overlap_pairs: list[tuple[int, int]] = []  # (window_idx, 2nd label)
+        if cfg.detect_overlap and n_spk > 1:
+            overlap_pairs = detect_overlap_windows(
+                emb, labels, n_spk, cfg.overlap_ratio, cfg.overlap_min_sim
+            )
         segments = labels_to_segments(
             labels, speech_starts, cfg.window_seconds, prefix="S"
         )
@@ -134,12 +180,37 @@ class Diarizer:
             renamed = [
                 (s, e, l) for s, e, l in renamed if e - s >= cfg.min_segment_seconds
             ]
-        return {
+
+        overlap_segments: list[Segment] = []
+        if overlap_pairs:
+            # secondary labels per window → merged overlap segments, carrying
+            # the same S1..Sk rename as the primary track
+            sec_by_label: dict[int, list[float]] = {}
+            for widx, sec in overlap_pairs:
+                sec_by_label.setdefault(sec, []).append(speech_starts[widx])
+            for sec, starts_list in sec_by_label.items():
+                raw = f"S{int(sec):02d}"
+                name = order.get(raw)
+                if name is None:
+                    continue
+                segs = labels_to_segments(
+                    np.zeros(len(starts_list), dtype=int),
+                    np.asarray(sorted(starts_list)),
+                    cfg.window_seconds,
+                    prefix="X",
+                )
+                overlap_segments.extend((s, e, name) for s, e, _ in segs)
+            overlap_segments.sort()
+
+        out: dict[str, Any] = {
             "segments": renamed,
             "n_speakers": n_spk,
             "window_labels": labels.tolist(),
             "window_starts": speech_starts.tolist(),
         }
+        if cfg.detect_overlap:
+            out["overlap_segments"] = overlap_segments
+        return out
 
     def diarize_file(self, audio_path: str | Path) -> dict[str, Any]:
         from ..utils.audio import load_audio
@@ -152,9 +223,14 @@ class Diarizer:
 
 
 def to_rttm(result: dict[str, Any], recording_id: str = "rec") -> str:
-    """Standard RTTM serialization of a diarization result."""
+    """Standard RTTM serialization of a diarization result.  Overlap
+    segments (when detected) appear as additional SPEAKER lines for the
+    secondary speaker — the NIST convention for overlapped speech."""
     lines = []
-    for start, end, label in result["segments"]:
+    all_segments = sorted(
+        list(result["segments"]) + list(result.get("overlap_segments", []))
+    )
+    for start, end, label in all_segments:
         lines.append(
             f"SPEAKER {recording_id} 1 {start:.3f} {end - start:.3f} "
             f"<NA> <NA> {label} <NA> <NA>"

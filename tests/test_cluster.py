@@ -245,3 +245,36 @@ def test_viterbi_decode_prefers_sticky_paths():
     ll = jnp.asarray([[2.0, 0.0], [2.0, 0.0], [0.0, 9.0], [4.0, 0.0]])
     path = np.asarray(viterbi_decode(ll, 2))
     np.testing.assert_array_equal(path, [0, 0, 1, 0])
+
+
+def test_overlap_detection(speakers_dir):
+    """A region where two voices sum is flagged with a secondary speaker."""
+    from sdtk_tpu.pipeline.diarize import DiarizeConfig, Diarizer
+
+    sr = 16000
+    rng = np.random.default_rng(5)
+
+    def voice(freq, seconds):
+        t = np.arange(int(seconds * sr)) / sr
+        x = sum((0.5 / (k + 1)) * np.sin(2 * np.pi * freq * (k + 1) * t)
+                for k in range(4))
+        return (0.4 * x / np.max(np.abs(x))).astype(np.float32)
+
+    a, b = voice(220, 4), voice(520, 4)
+    overlap = 0.5 * (voice(220, 3) + voice(520, 3))
+    wav = np.concatenate([a, overlap, b])
+    wav += 0.005 * rng.standard_normal(len(wav)).astype(np.float32)
+
+    d = Diarizer("fake", DiarizeConfig(n_speakers=2, detect_overlap=True,
+                                       resegment=False))
+    res = d.diarize_waveform(wav)
+    assert res["n_speakers"] == 2
+    assert "overlap_segments" in res
+    # at least one overlap segment intersects the 4-7 s mixed region
+    hits = [s for s in res["overlap_segments"] if s[0] < 7.0 and s[1] > 4.0]
+    assert hits, res["overlap_segments"]
+    # pure single-voice conversation → no (or almost no) overlap flagged
+    wav2 = np.concatenate([a, b])
+    res2 = d.diarize_waveform(wav2 + 0.005 * rng.standard_normal(len(wav2)).astype(np.float32))
+    total_overlap = sum(e - s for s, e, _ in res2["overlap_segments"])
+    assert total_overlap <= 3.0, res2["overlap_segments"]
