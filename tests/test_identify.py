@@ -174,3 +174,16 @@ def test_backends_yaml_registry_override(speakers_dir, tmp_path, monkeypatch):
     finally:
         monkeypatch.delenv("SPEAKER_BACKENDS_CONFIG")
         B.reload_backends_config()
+
+
+def test_speechmatics_backend_graceful_without_key(speakers_dir, tmp_path, monkeypatch):
+    """The optional cloud-parity backend errors clearly with no API key
+    (never silently calls out; reference requires SPEECHMATICS_API_KEY)."""
+    monkeypatch.delenv("SPEECHMATICS_API_KEY", raising=False)
+    be = get_backend("speechmatics")
+    assert be.requires_api_key is True
+    from conftest import make_wav
+
+    wav = make_wav(tmp_path / "k.wav", seconds=1.0, freq=300, seed=44)
+    with pytest.raises(RuntimeError, match="SPEECHMATICS_API_KEY"):
+        be.enroll_speaker(wav, [(0.0, 1.0)])
