@@ -121,13 +121,48 @@ def cmd_review(args) -> int:
     idx = session.position
     while idx < len(session.segments):
         _render(session, idx)
-        key = _getch().lower()
+        raw = _getch()
+        if raw == "N":  # previous (case-sensitive, reference :78)
+            idx = max(0, idx - 1)
+            session.position = idx
+            continue
+        key = raw.lower()
         if key == "q":
             break
+        if key == "?":
+            print(KEYHELP + "  [e]dit-name  [N]=prev  [c]ontext  [?]help")
+            continue
         if key == "p":
             seg = session.segments[idx]
             if not RV.play_segment(session.audio_path, seg.start, seg.end):
                 print("  (no audio player available: set $SPEAKER_REVIEW_PLAYER)")
+            continue
+        if key == "e":
+            # edit the assigned speaker's display name (reference :641-667)
+            seg = session.segments[idx]
+            if not seg.speaker_id:
+                print("  (no speaker assigned to edit)")
+                continue
+            new_name = input(f"  new display name for {seg.speaker_id}: ").strip()
+            if new_name:
+                from ..store import profiles as P
+
+                prof = P.load_speaker(seg.speaker_id)
+                if prof:
+                    prof["names"]["default"] = new_name
+                    P.save_speaker(prof)
+                    print(f"  updated {seg.speaker_id} → {new_name}")
+                else:
+                    print(f"  (profile '{seg.speaker_id}' not found)")
+            continue
+        if key == "c":
+            ctx = input("  context name for this recording: ").strip()
+            if ctx:
+                try:
+                    catalog_store.set_context(session.recording_b3sum, ctx)
+                    print(f"  context set: {ctx}")
+                except KeyError as e:
+                    print(f"  ({e.args[0] if e.args else e})")
             continue
         if key == "a":
             RV.approve_segment(session, idx)

@@ -316,3 +316,40 @@ def test_umbrella_dispatcher_subprocess(tmp_path, speakers_dir):
     )
     assert r.returncode == 2
     assert "unknown tool" in r.stderr
+
+
+def test_review_edit_prev_context_keys(speakers_dir, tmp_path, monkeypatch, capsys):
+    """Reference keybindings e/N/c/? (speaker-review:71-84,641-667)."""
+    import io
+
+    from sdtk_tpu.cli import review as cli_review
+    from sdtk_tpu.pipeline import identify as ID
+    from sdtk_tpu.store import catalog, profiles
+    from conftest import make_wav
+
+    monkeypatch.setenv("SPEAKER_DETECTION_BACKEND", "fake")
+    wav = make_wav(tmp_path / "rv.wav", seconds=3.0, freq=300, seed=61)
+    tr = tmp_path / "tr.json"
+    tr.write_text(json.dumps({"utterances": [
+        {"speaker": "A", "start": 0, "end": 1400, "text": "one"},
+        {"speaker": "A", "start": 2800, "end": 2900, "text": "two"},
+    ]}))
+    ID.enroll("rex", wav, create_missing=True, name="Rex",
+              segments=[(0.0, 1.4)])
+    entry = catalog.add_recording(wav)
+    b3 = entry["recording"]["b3sum"]
+    catalog.register_transcript(b3, tr, "assemblyai")
+    from sdtk_tpu.pipeline import assign as A
+
+    A.assign(wav, tr, threshold=0.0)
+    capsys.readouterr()
+
+    # ? help, e rename, c set context, N previous (no-op at 0), q quit
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO("?\ne\nRexford\nc\nboard\nN\nq\n"))
+    assert cli_review.main(["review", str(wav)]) == 0
+    out = capsys.readouterr().out
+    assert "updated rex" in out
+    assert "context set: board" in out
+    assert profiles.load_speaker("rex")["names"]["default"] == "Rexford"
+    assert catalog.load_entry(b3)["context"]["name"] == "board"
