@@ -126,12 +126,21 @@ class _EmbedEngine:
     def _params_search_paths(self) -> list[Path]:
         name = f"{type(self.model).__name__.lower()}.msgpack"
         repo_models = Path(__file__).resolve().parent.parent.parent / "models"
-        return [
+        paths = []
+        # explicit override first ($SDTK_MODEL_PATH — A/B new checkpoints
+        # without touching the bundled default)
+        import os
+
+        override = os.environ.get("SDTK_MODEL_PATH")
+        if override:
+            paths.append(Path(override))
+        paths += [
             config.model_dir() / name,
             repo_models / "ecapatdnn-synth64.msgpack"
             if self._model_name == "ecapa" and self._channels == 512
             else repo_models / name,
         ]
+        return paths
 
     def _init_or_load(self, params_path, seed):
         import jax
