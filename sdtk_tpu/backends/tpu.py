@@ -104,6 +104,11 @@ class _EmbedEngine:
         elif model_name == "xvector":
             self.model = XVector(XVectorConfig(channels=channels))
             self.emb_dim = self.model.cfg.emb_dim
+        elif model_name == "conformer":
+            from ..models import Conformer, ConformerConfig
+
+            self.model = Conformer(ConformerConfig(dim=min(channels, 256)))
+            self.emb_dim = self.model.cfg.emb_dim
         else:
             raise ValueError(f"unknown model '{model_name}'")
 

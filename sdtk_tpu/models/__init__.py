@@ -5,7 +5,11 @@ These replace the reference's cloud-side speaker model — the opaque
 (speechmatics_backend.py:283-359) become real on-device vectors.
 """
 
+from .conformer import Conformer, ConformerConfig
 from .ecapa import EcapaConfig, EcapaTdnn
 from .xvector import XVector, XVectorConfig
 
-__all__ = ["EcapaTdnn", "EcapaConfig", "XVector", "XVectorConfig"]
+__all__ = [
+    "EcapaTdnn", "EcapaConfig", "XVector", "XVectorConfig",
+    "Conformer", "ConformerConfig",
+]

@@ -79,3 +79,48 @@ def test_xvector_shapes():
     variables = model.init(jax.random.PRNGKey(0), feats)
     emb = model.apply(variables, feats)
     assert emb.shape == (2, 64)
+
+
+def test_conformer_shapes_and_mask_invariance():
+    """Third tower: shapes + padding cannot perturb valid embeddings."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdtk_tpu.models import Conformer, ConformerConfig
+
+    cfg = ConformerConfig(dim=64, n_blocks=2, n_heads=2, ff_mult=2,
+                          conv_kernel=7, emb_dim=32, attention_channels=16,
+                          dtype="float32")
+    model = Conformer(cfg)
+    rng = jax.random.PRNGKey(0)
+    feats = jax.random.normal(rng, (2, 40, 80))
+    variables = model.init(rng, feats)
+    emb = model.apply(variables, feats)
+    assert emb.shape == (2, 32)
+    assert emb.dtype == jnp.float32
+
+    # pad one sequence with garbage; masked apply must match the unpadded
+    mask = jnp.ones((1, 40), dtype=bool)
+    e_ref = model.apply(variables, feats[:1], mask=mask)
+    garbage = jax.random.normal(jax.random.PRNGKey(9), (1, 24, 80)) * 50
+    feats_pad = jnp.concatenate([feats[:1], garbage], axis=1)
+    mask_pad = jnp.concatenate([mask, jnp.zeros((1, 24), dtype=bool)], axis=1)
+    e_pad = model.apply(variables, feats_pad, mask=mask_pad)
+    assert jnp.max(jnp.abs(e_pad - e_ref)) < 1e-4, float(jnp.max(jnp.abs(e_pad - e_ref)))
+
+
+def test_conformer_backend_engine(speakers_dir, tmp_path):
+    """The tpu backend can host the conformer tower end-to-end."""
+    import numpy as np
+
+    from conftest import make_wav
+    from sdtk_tpu.backends.tpu import TpuBackend
+
+    be = TpuBackend(model="conformer", channels=64, max_windows=2)
+    wav = make_wav(tmp_path / "c.wav", seconds=2.0, freq=300, seed=3)
+    from sdtk_tpu.utils.audio import load_audio
+
+    x, _ = load_audio(wav)
+    emb = be.embed_waveform(x)
+    assert emb.shape == (be.embedding_dim,)
+    assert np.isfinite(emb).all()
