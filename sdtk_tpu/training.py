@@ -27,6 +27,7 @@ def train(
     seconds: float = 3.0,
     crop_seconds: float = 1.5,
     channels: int = 512,
+    model_name: str = "ecapa",
     lr: float = 1e-3,
     mesh_spec: str = "",
     seed: int = 0,
@@ -57,7 +58,18 @@ def train(
     import jax.numpy as jnp
 
     fcfg = fbank.FrontendConfig()
-    model = EcapaTdnn(EcapaConfig(channels=channels))
+    if model_name == "ecapa":
+        model = EcapaTdnn(EcapaConfig(channels=channels))
+    elif model_name == "xvector":
+        from .models import XVector, XVectorConfig
+
+        model = XVector(XVectorConfig(channels=channels))
+    elif model_name == "conformer":
+        from .models import Conformer, ConformerConfig
+
+        model = Conformer(ConformerConfig(dim=min(channels, 256)))
+    else:
+        raise ValueError(f"unknown model '{model_name}'")
     tcfg = TrainConfig(
         n_classes=n_speakers, emb_dim=model.cfg.emb_dim, learning_rate=lr
     )
@@ -132,7 +144,11 @@ def train(
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
     }
-    out_path = Path(out_path) if out_path else config.model_dir() / "ecapatdnn.msgpack"
+    out_path = (
+        Path(out_path)
+        if out_path
+        else config.model_dir() / f"{type(model).__name__.lower()}.msgpack"
+    )
     atomic_write_bytes(out_path, flax.serialization.to_bytes(variables))
     log(f"saved params -> {out_path}")
     return state, out_path
@@ -146,6 +162,8 @@ def main(argv=None) -> int:
     p.add_argument("--seconds", type=float, default=3.0)
     p.add_argument("--crop-seconds", type=float, default=1.5)
     p.add_argument("--channels", type=int, default=512)
+    p.add_argument("--model", default="ecapa",
+                   choices=["ecapa", "xvector", "conformer"])
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--mesh", default="")
     p.add_argument("--seed", type=int, default=0)
@@ -161,6 +179,7 @@ def main(argv=None) -> int:
         seconds=args.seconds,
         crop_seconds=args.crop_seconds,
         channels=args.channels,
+        model_name=args.model,
         lr=args.lr,
         mesh_spec=args.mesh,
         seed=args.seed,

@@ -106,3 +106,15 @@ def test_train_crash_resume_from_checkpoint(tmp_path):
           channels=32, out_path=tmp_path / "b.msgpack", ckpt_dir=ck,
           ckpt_every=0, log_every=1, log=logs2.append)
     assert any("restored full train state" in l and "step 2" in l for l in logs2)
+
+
+@pytest.mark.parametrize("model_name", ["xvector", "conformer"])
+def test_train_other_towers(tmp_path, model_name):
+    """The training driver hosts every embedder family."""
+    from sdtk_tpu.training import train
+
+    out = tmp_path / f"{model_name}.msgpack"
+    train(steps=1, n_speakers=4, batch=8, seconds=1.0, crop_seconds=1.0,
+          channels=32, model_name=model_name, out_path=out, log_every=1,
+          log=lambda m: None)
+    assert out.exists()
