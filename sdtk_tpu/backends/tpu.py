@@ -113,20 +113,32 @@ class _EmbedEngine:
             raise ValueError(f"unknown model '{model_name}'")
 
         self.variables = self._init_or_load(params_path, seed)
-
+        # Device-resident params passed as a jit ARGUMENT, not a closure:
+        # closing over them would bake 25 MB of weights into the compiled
+        # program as constants, so every checkpoint swap (or A/B via
+        # $SDTK_MODEL_PATH) would trigger a full recompile.  As an argument
+        # the program is weight-agnostic — compile once, serve any
+        # checkpoint.
+        self._device_variables = jax.device_put(self.variables)
+        model = self.model
         frontend_cfg = self.cfg
 
-        def embed_fn(wav_windows, frame_lengths):
+        def embed_fn(variables, wav_windows, frame_lengths):
             # wav_windows: (W, L); frame_lengths: (W,) valid samples
             feats, mask = fbank.log_mel(wav_windows, frontend_cfg, lengths=frame_lengths)
-            emb = self.model.apply(self.variables, feats, mask=mask)
+            emb = model.apply(variables, feats, mask=mask)
             # L2 per window
             emb = emb / jnp.maximum(
                 jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
             )
             return emb
 
-        self._embed_jit = jax.jit(embed_fn)
+        self._embed_jit_raw = jax.jit(embed_fn)
+        # call-site signature stays (windows, lengths); the device-resident
+        # params are injected here
+        self._embed_jit = lambda w, l: self._embed_jit_raw(
+            self._device_variables, w, l
+        )
 
     def _params_search_paths(self) -> list[Path]:
         name = f"{type(self.model).__name__.lower()}.msgpack"
