@@ -82,18 +82,44 @@ def train(
         model, jax.random.PRNGKey(seed), tcfg, jnp.zeros((1, t_frames, fcfg.n_mels))
     )
     if resume_path:
-        # Warm-start the backbone from a saved inference checkpoint
-        # (params + batch_stats; the AAM head and optimizer state start
-        # fresh — fine for continued training on the same corpus).
+        # Warm-start from a saved inference checkpoint: merge every leaf
+        # whose path+shape matches (the AAM head is skipped when the class
+        # count changed, optimizer state always starts fresh).
         import flax.serialization
 
-        template = {"params": state.params, "batch_stats": state.batch_stats}
         with open(resume_path, "rb") as f:
-            loaded = flax.serialization.from_bytes(template, f.read())
-        state = state.replace(
-            params=loaded["params"], batch_stats=loaded["batch_stats"]
+            loaded = flax.serialization.msgpack_restore(f.read())
+
+        merged, skipped = [0], []
+
+        def merge(tmpl, src, path=""):
+            if isinstance(tmpl, dict):
+                return {
+                    k: merge(v, (src or {}).get(k), f"{path}/{k}")
+                    for k, v in tmpl.items()
+                }
+            if src is not None and getattr(src, "shape", None) == tmpl.shape:
+                merged[0] += 1
+                return jnp.asarray(src, tmpl.dtype)
+            skipped.append(path)
+            return tmpl
+
+        new_params = merge(
+            flax.serialization.to_state_dict(state.params),
+            loaded.get("params"),
         )
-        log(f"resumed backbone from {resume_path}")
+        new_stats = merge(
+            flax.serialization.to_state_dict(state.batch_stats),
+            loaded.get("batch_stats"),
+        )
+        state = state.replace(
+            params=flax.serialization.from_state_dict(state.params, new_params),
+            batch_stats=flax.serialization.from_state_dict(
+                state.batch_stats, new_stats
+            ),
+        )
+        log(f"resumed backbone from {resume_path} "
+            f"({merged[0]} leaves, {len(skipped)} skipped)")
     if ckpt_dir:
         # Full train-state resume (params + optimizer + step) if a prior
         # run left a checkpoint — crash recovery for long runs.
