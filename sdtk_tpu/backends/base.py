@@ -46,6 +46,30 @@ class EmbeddingBackend(ABC):
     def model_version(self) -> str:
         return "unknown"
 
+    def check_embedding_compatibility(
+        self, embedding: dict[str, Any]
+    ) -> dict[str, Any]:
+        """Is a stored embedding record usable with this backend?
+
+        Same contract as the reference (base.py:73-105): the record's
+        model_version must be prefixed by the backend name; incompatible
+        records get a re-enroll warning.
+        """
+        emb_version = embedding.get("model_version", "unknown")
+        compatible = emb_version.startswith(f"{self.name}-")
+        result: dict[str, Any] = {
+            "compatible": compatible,
+            "version": emb_version,
+            "current": self.model_version,
+            "warning": None,
+        }
+        if not compatible:
+            result["warning"] = (
+                f"Embedding created with {emb_version} may not work with "
+                f"backend {self.name}. Consider re-enrolling."
+            )
+        return result
+
     @abstractmethod
     def enroll_speaker(
         self,

@@ -338,6 +338,19 @@ def cmd_check_validity(args) -> int:
     issues = 0
     checked = 0
     for profile in speakers:
+        # model-version compatibility sweep (reference base.py:73-105)
+        for backend_name, recs in (profile.get("embeddings") or {}).items():
+            try:
+                backend = get_backend(backend_name)
+            except ValueError:
+                continue
+            for rec in recs:
+                compat = backend.check_embedding_compatibility(rec)
+                if not compat["compatible"]:
+                    print(
+                        f"INCOMPATIBLE: {profile['id']}/{backend_name}/"
+                        f"{rec.get('id')} — {compat['warning']}"
+                    )
         results = P.refresh_trust_levels(profile["id"], save=args.fix)
         for res in results:
             checked += 1

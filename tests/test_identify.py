@@ -187,3 +187,13 @@ def test_speechmatics_backend_graceful_without_key(speakers_dir, tmp_path, monke
     wav = make_wav(tmp_path / "k.wav", seconds=1.0, freq=300, seed=44)
     with pytest.raises(RuntimeError, match="SPEECHMATICS_API_KEY"):
         be.enroll_speaker(wav, [(0.0, 1.0)])
+
+
+def test_embedding_compatibility_check(speakers_dir, tmp_path):
+    """Records are compatible iff model_version is prefixed by the backend
+    name (reference base.py:73-105); check-validity surfaces mismatches."""
+    be = get_backend("fake")
+    ok = be.check_embedding_compatibility({"model_version": "fake-spectral-v1"})
+    assert ok["compatible"] and ok["warning"] is None
+    bad = be.check_embedding_compatibility({"model_version": "tpu-ecapa-v1"})
+    assert not bad["compatible"] and "re-enroll" in bad["warning"].lower()
