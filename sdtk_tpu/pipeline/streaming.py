@@ -141,10 +141,13 @@ class OnlineDiarizer:
         if not st.window_embs:
             return {"segments": [], "n_speakers": 0}
         if recluster and len(st.window_embs) >= 4:
+            from ..cluster.resegment import resegment
             from ..cluster.spectral import spectral_cluster
 
             emb = np.stack(st.window_embs)
             labels, k = spectral_cluster(emb, max_speakers=self.cfg.max_speakers)
+            if k > 1:
+                labels = resegment(emb, labels, k)
             st.window_labels = labels.tolist()
             st.centroids = [
                 emb[labels == j].mean(axis=0) for j in range(k)
