@@ -11,6 +11,7 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Any
 
+from .. import config
 from ..backends import get_backend
 from ..backends.base import DEFAULT_THRESHOLD
 from ..store import profiles as P
@@ -98,6 +99,19 @@ def identify(
         return []
 
     results = backend.identify_speaker(audio_path, candidates, threshold, segments)
+    if config.debug_enabled():
+        # raw backend response dump (reference SPEAKER_DETECTION_DEBUG,
+        # speechmatics_backend.py:469-478)
+        import json as _json
+        import sys as _sys
+
+        print(
+            "[SPEAKER_DETECTION_DEBUG] identify "
+            f"backend={backend.name} candidates={len(candidates)} "
+            f"threshold={threshold}\n"
+            + _json.dumps(results, indent=2, default=str),
+            file=_sys.stderr,
+        )
 
     by_id = {s["id"]: s for s in candidates}
     out = []
