@@ -49,10 +49,13 @@ def energy_vad_mask(
         n = win
     n_win = 1 + (n - win) // hop_n
     starts = np.arange(n_win) * hop_n
-    rms = np.empty(n_win, dtype=np.float64)
-    for i, s in enumerate(starts):
-        seg = wav[s : s + win]
-        rms[i] = np.sqrt(np.mean(seg.astype(np.float64) ** 2) + 1e-12)
+    # vectorized per-window mean square via cumulative sums (an hour of
+    # audio is ~4800 windows — the python loop was the host hot spot)
+    sq = np.cumsum(np.square(wav, dtype=np.float64))
+    ends = np.minimum(starts + win, n) - 1
+    seg_sums = sq[ends] - np.where(starts > 0, sq[starts - 1], 0.0)
+    seg_lens = ends - starts + 1  # tail windows can be shorter than win
+    rms = np.sqrt(seg_sums / seg_lens + 1e-12)
     ref = rms.max() + 1e-12
     db = 20.0 * np.log10(rms / ref)
     keep = db > threshold_db
