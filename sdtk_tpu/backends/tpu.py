@@ -153,7 +153,7 @@ class _EmbedEngine:
             paths.append(Path(override))
         paths += [
             config.model_dir() / name,
-            repo_models / "ecapatdnn-synth64.msgpack"
+            repo_models / "ecapatdnn-synth256.msgpack"
             if self._model_name == "ecapa" and self._channels == 512
             else repo_models / name,
         ]

@@ -24,6 +24,9 @@ def cmd_assign(args) -> int:
             threshold=args.threshold,
             tags=args.tags.split(",") if args.tags else None,
             backend=args.backend,
+            cross_backends=(
+                args.cross_backends.split(",") if args.cross_backends else None
+            ),
             save=not args.dry_run,
         )
     except FileNotFoundError as e:
@@ -108,6 +111,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-trust", choices=["low", "medium", "high"], default="low")
     # reference speaker-assign:756 defaults the CLI threshold to 0.3
     p.add_argument("--threshold", type=float, default=0.3)
+    p.add_argument("--cross-backends",
+                   help="Comma list of secondary backends whose agreement "
+                        "adds the cross_backend_agreement signal")
     p.add_argument("--tags")
     p.add_argument("--backend", "-b")
     p.add_argument("-n", "--dry-run", action="store_true")

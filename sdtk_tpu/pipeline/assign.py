@@ -101,6 +101,47 @@ def collect_embedding_signals(
     return signals
 
 
+def collect_cross_backend_signals(
+    speaker_label: str,
+    segments: list[dict],
+    audio_path: Path,
+    primary_matches: list[Signal],
+    cross_backends: list[str],
+    min_trust: str = "low",
+) -> list[Signal]:
+    """Cross-backend agreement: the reference DECLARES this signal type
+    (weight 0.1, speaker-assign:53) but never emits it — its only compute
+    backend was the cloud.  This framework has several local backends, so
+    agreement is real: when a secondary backend's top match for the same
+    segments names a speaker the primary also matched, emit the signal."""
+    primary_ids = {s.speaker_id for s in primary_matches if s.speaker_id}
+    if not primary_ids or not cross_backends:
+        return []
+    seg_tuples = [(s["start"], s["end"]) for s in segments] or None
+    signals = []
+    for backend_name in cross_backends:
+        try:
+            matches = identify_engine.identify(
+                audio_path, backend_name=backend_name, segments=seg_tuples
+            )
+        except Exception:
+            continue  # graceful degradation, same as the other collectors
+        if not matches:
+            continue
+        top = matches[0]
+        if top.get("speaker_id") in primary_ids:
+            signals.append(
+                Signal(
+                    type="cross_backend_agreement",
+                    speaker_id=top["speaker_id"],
+                    score=top.get("score", 0.5),
+                    evidence={"backend": backend_name,
+                              "agrees_with_primary": True},
+                )
+            )
+    return signals
+
+
 def collect_context_signals(
     speaker_label: str, context_name: str | None, expected_speakers: list[str]
 ) -> list[Signal]:
@@ -208,6 +249,7 @@ def assign(
     threshold: float = 0.5,
     tags: list[str] | None = None,
     backend: str | None = None,
+    cross_backends: list[str] | None = None,
     save: bool = True,
 ) -> dict[str, Any]:
     """Full assignment flow (reference cmd_assign :499-649): parse labels,
@@ -236,11 +278,17 @@ def assign(
         segments = get_speaker_segments(transcript_data, label)
         signals: list[Signal] = []
         if use_embeddings:
-            signals.extend(
-                collect_embedding_signals(
-                    label, segments, audio_path, min_trust, tags, backend
-                )
+            emb_signals = collect_embedding_signals(
+                label, segments, audio_path, min_trust, tags, backend
             )
+            signals.extend(emb_signals)
+            if cross_backends:
+                signals.extend(
+                    collect_cross_backend_signals(
+                        label, segments, audio_path, emb_signals,
+                        cross_backends, min_trust,
+                    )
+                )
         if expected:
             signals.extend(collect_context_signals(label, context_name, expected))
         if use_llm:

@@ -373,3 +373,33 @@ def test_process_external_stt_seam(speakers_dir, tmp_path, monkeypatch):
         PR.process_single(
             make_wav(tmp_path / "none.wav", seconds=1.0, freq=310, seed=32),
             stt_backends=["deepgram"], log=lambda m: None)
+
+
+def test_cross_backend_agreement_signal(speakers_dir, tmp_path, monkeypatch):
+    """The weight-0.1 signal the reference declares but never emits
+    (speaker-assign:53): a second backend's agreeing top match adds it."""
+    monkeypatch.setenv("SPEAKER_DETECTION_BACKEND", "fake")
+
+    from sdtk_tpu.backends import register_backend
+    from sdtk_tpu.backends.fake import FakeBackend
+
+    register_backend("fake2", FakeBackend())
+
+    a_path = voice_wav(tmp_path / "xa.wav", 220, seconds=4, seed=1)
+    conv = tmp_path / "xconv.wav"
+    import shutil
+
+    shutil.copy(a_path, conv)
+    tr = tmp_path / "x.json"
+    tr.write_text(json.dumps({"utterances": [
+        {"speaker": "S1", "start": 0, "end": 4000, "text": "hello"}]}))
+
+    ID.enroll("alice", a_path, create_missing=True, name="Alice")
+    ID.enroll("alice", a_path, backend_name="fake2")
+
+    out = A.assign(conv, tr, threshold=0.1, cross_backends=["fake2"],
+                   save=False)
+    m = out["mappings"]["S1"]
+    assert m["speaker_id"] == "alice"
+    types = {s["type"] for s in m["signals"]}
+    assert "cross_backend_agreement" in types, m["signals"]
