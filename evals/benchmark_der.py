@@ -50,6 +50,8 @@ def main() -> int:
     p.add_argument("--turns", type=int, default=10)
     p.add_argument("--turn-seconds", type=float, default=3.0)
     p.add_argument("--collar", type=float, default=0.75)
+    p.add_argument("--window", type=float, default=1.5)
+    p.add_argument("--hop", type=float, default=0.75)
     p.add_argument("--known-k", action="store_true", help="give the diarizer the true speaker count")
     args = p.parse_args()
 
@@ -57,7 +59,8 @@ def main() -> int:
     from sdtk_tpu.pipeline.diarize import DiarizeConfig, Diarizer
 
     cfg = DiarizeConfig(n_speakers=args.speakers if args.known_k else None,
-                        max_speakers=max(8, args.speakers))
+                        max_speakers=max(8, args.speakers),
+                        window_seconds=args.window, hop_seconds=args.hop)
     d = Diarizer(args.backend, cfg)
 
     ders = []
