@@ -128,6 +128,15 @@ class LocalEmbeddingBackend(EmbeddingBackend):
 
     sample_rate: int = 16000
 
+    # Same-speaker cosine bar for the diarizer's cluster-merge speaker
+    # counting (cluster.spectral.merge_count) — a property of the
+    # embedding geometry: trained towers put different speakers below the
+    # 0.354 verify threshold, so 0.5 between group means is a safe merge
+    # bar (0.47 tuned on the synthetic-meeting sweep, see
+    # cluster.spectral.MERGE_TAU); spaces with different geometry can
+    # override per backend.
+    cluster_merge_tau: float = 0.47
+
     @abstractmethod
     def embed_waveform(self, wav: np.ndarray) -> np.ndarray:
         """float32 mono waveform @ self.sample_rate → (embedding_dim,)."""

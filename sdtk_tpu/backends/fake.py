@@ -38,7 +38,7 @@ class FakeBackend(LocalEmbeddingBackend):
 
     @property
     def model_version(self) -> str:
-        return "fake-spectral-v1"
+        return "fake-spectral-v2"
 
     def embed_waveform(self, wav: np.ndarray) -> np.ndarray:
         # Average log-power in geometrically spaced bands: a crude but
@@ -58,7 +58,11 @@ class FakeBackend(LocalEmbeddingBackend):
         # Keep only bands that stand out above the noise floor (median):
         # harmonic peaks survive, the shared floor does not, so different
         # voices separate well below the 0.354 decision threshold.
-        bands = np.maximum(bands - np.median(bands), 0.0)
+        # Cubing sharpens the harmonic peaks: different vocoder voices drop
+        # from window-level cosine ~0.5 (right at the cluster-merge bar,
+        # where boundary windows could chain two speakers into one) to
+        # ~0.2-0.35 — the same range a trained tower puts them in.
+        bands = np.maximum(bands - np.median(bands), 0.0) ** 3
         bands /= max(np.linalg.norm(bands), 1e-12)
         vec = bands @ self._proj
         return (vec / max(np.linalg.norm(vec), 1e-12)).astype(np.float32)

@@ -31,6 +31,7 @@ class DiarizeConfig:
     min_segment_seconds: float = 0.0
     embed_chunk: int = 128  # windows per device batch (static shape)
     resegment: bool = True  # sticky-HMM Viterbi smoothing of window labels
+    merge_tau: float | None = None  # same-speaker merge bar; None = backend's
     detect_overlap: bool = False  # emit secondary-speaker segments
     overlap_ratio: float = 0.8  # 2nd/1st centroid-similarity ratio gate
     overlap_min_sim: float = 0.7  # absolute 2nd-best similarity floor
@@ -155,7 +156,12 @@ class Diarizer:
             emb = self._embed_windows(wav, speech_starts)
         with stage("diarize.cluster"):
             labels, n_spk = spectral_cluster(
-                emb, n_speakers=cfg.n_speakers, max_speakers=cfg.max_speakers
+                emb, n_speakers=cfg.n_speakers, max_speakers=cfg.max_speakers,
+                merge_tau=(
+                    cfg.merge_tau
+                    if cfg.merge_tau is not None
+                    else getattr(self.backend, "cluster_merge_tau", 0.47)
+                ),
             )
         if cfg.resegment:
             from ..cluster.resegment import resegment

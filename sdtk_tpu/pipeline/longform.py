@@ -41,6 +41,7 @@ class LongformConfig:
     n_speakers: int | None = None
     vad_threshold_db: float = -40.0  # on window RMS, relative to loudest
     resegment: bool = True
+    merge_tau: float = 0.47  # same-speaker merge bar (cluster.spectral.MERGE_TAU)
 
 
 def _frame_axis0(x, win: int, hop: int):
@@ -153,7 +154,7 @@ class LongformDiarizer:
     def diarize_waveform(self, wav: np.ndarray) -> dict[str, Any]:
         import jax.numpy as jnp
 
-        from ..cluster.spectral import eigengap_count, kmeans
+        from ..cluster.spectral import kmeans, merge_count
         from ..ops.longform import pad_for_sharding
 
         cfg = self.cfg
@@ -184,7 +185,18 @@ class LongformDiarizer:
 
         n_spk = cfg.n_speakers
         if n_spk is None:
-            n_spk = int(eigengap_count(np.asarray(eigvals), cfg.max_speakers))
+            # Over-cluster at the cap, merge same-speaker groups on host
+            # (mean-linkage on group means — O(K²·D), no W×W matrix).
+            kmax = min(cfg.max_speakers, w)
+            spec0 = eigvecs_np[:, :kmax]
+            spec0 = spec0 / np.maximum(
+                np.linalg.norm(spec0, axis=1, keepdims=True), 1e-12
+            )
+            labels0 = np.asarray(kmeans(jnp.asarray(spec0), kmax))
+            e_unit = emb / np.maximum(
+                np.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+            )
+            n_spk, _ = merge_count(e_unit, labels0, cfg.merge_tau)
         n_spk = max(1, min(n_spk, cfg.max_speakers))
 
         if n_spk == 1:

@@ -145,7 +145,10 @@ class OnlineDiarizer:
             from ..cluster.spectral import spectral_cluster
 
             emb = np.stack(st.window_embs)
-            labels, k = spectral_cluster(emb, max_speakers=self.cfg.max_speakers)
+            labels, k = spectral_cluster(
+                emb, max_speakers=self.cfg.max_speakers,
+                merge_tau=getattr(self.backend, "cluster_merge_tau", 0.47),
+            )
             if k > 1:
                 labels = resegment(emb, labels, k)
             st.window_labels = labels.tolist()

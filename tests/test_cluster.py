@@ -15,8 +15,14 @@ from sdtk_tpu.cluster.spectral import kmeans, topk_eigvecs_subspace, normalized_
 
 
 def blob_embeddings(n_per, centers, noise=0.05, seed=0, d=16):
+    """Well-separated unit-norm cluster centers + Gaussian noise.
+
+    Centers are orthogonalized: raw Gaussian pairs can land at cosine >0.5
+    by chance (e.g. 0.54 at seed 2), which models two near-identical
+    voices rather than distinct speakers — distinct-speaker embeddings sit
+    below the 0.354 verify threshold (SURVEY.md §6)."""
     rng = np.random.default_rng(seed)
-    cs = rng.standard_normal((centers, d))
+    cs = np.linalg.qr(rng.standard_normal((d, centers)))[0].T[:centers]
     cs /= np.linalg.norm(cs, axis=1, keepdims=True)
     embs, labels = [], []
     for c in range(centers):

@@ -193,7 +193,7 @@ def test_embedding_compatibility_check(speakers_dir, tmp_path):
     """Records are compatible iff model_version is prefixed by the backend
     name (reference base.py:73-105); check-validity surfaces mismatches."""
     be = get_backend("fake")
-    ok = be.check_embedding_compatibility({"model_version": "fake-spectral-v1"})
+    ok = be.check_embedding_compatibility({"model_version": "fake-spectral-v2"})
     assert ok["compatible"] and ok["warning"] is None
     bad = be.check_embedding_compatibility({"model_version": "tpu-ecapa-v1"})
     assert not bad["compatible"] and "re-enroll" in bad["warning"].lower()
