@@ -36,6 +36,8 @@ def train(
     ckpt_dir: str | Path | None = None,
     ckpt_every: int = 200,
     log_every: int = 20,
+    noise_prob: float = 0.0,
+    noise_snr_db: tuple[float, float] = (5.0, 25.0),
     log=print,
 ):
     """``crop_seconds`` < ``seconds`` trains on random crops (with random
@@ -146,6 +148,19 @@ def train(
             offs = rng.integers(0, full_len - n_samples + 1, batch)
             wavs = np.stack([w[o : o + n_samples] for w, o in zip(wavs, offs)])
         wavs = wavs * rng.uniform(0.3, 1.2, (batch, 1)).astype(np.float32)
+        if noise_prob > 0:
+            # Additive white noise at a random SNR: content-invariance
+            # hardening (same-speaker windows with different phonetic
+            # content must still embed together for the diarizer's
+            # cluster-merge counting to hold).
+            mask_n = rng.uniform(size=batch) < noise_prob
+            if mask_n.any():
+                rms = np.sqrt((wavs**2).mean(axis=1, keepdims=True) + 1e-12)
+                snr_db = rng.uniform(*noise_snr_db, (batch, 1))
+                sigma = rms * 10.0 ** (-snr_db / 20.0) * mask_n[:, None]
+                wavs = (
+                    wavs + sigma * rng.standard_normal(wavs.shape)
+                ).astype(np.float32)
         feats, mask = featurize(jnp.asarray(wavs))
         state, metrics = step_fn(state, feats, mask, jnp.asarray(sids))
         if step % log_every == 0 or step == steps - 1:
@@ -197,6 +212,10 @@ def main(argv=None) -> int:
     p.add_argument("--resume", help="Warm-start from a saved .msgpack checkpoint")
     p.add_argument("--ckpt-dir", help="Periodic full-state checkpoints (crash resume)")
     p.add_argument("--ckpt-every", type=int, default=200)
+    p.add_argument("--noise-prob", type=float, default=0.0,
+                   help="Per-example probability of additive-noise augmentation")
+    p.add_argument("--noise-snr", type=float, nargs=2, default=(5.0, 25.0),
+                   metavar=("LO", "HI"), help="SNR range in dB for noise aug")
     args = p.parse_args(argv)
     train(
         steps=args.steps,
@@ -213,6 +232,8 @@ def main(argv=None) -> int:
         resume_path=args.resume,
         ckpt_dir=args.ckpt_dir,
         ckpt_every=args.ckpt_every,
+        noise_prob=args.noise_prob,
+        noise_snr_db=tuple(args.noise_snr),
         log=lambda msg: print(msg, file=sys.stderr),
     )
     return 0

@@ -69,6 +69,54 @@ def test_spectral_cluster_auto_k():
     assert agreement(labels, true) > 0.95
 
 
+def test_merge_count_exact_linkage():
+    """merge_count's group-mean dot equals mean pairwise cosine, so two
+    halves of one tight cluster merge and two distant clusters don't."""
+    from sdtk_tpu.cluster.spectral import merge_count
+
+    emb, true = blob_embeddings(10, 2, noise=0.03, seed=5)
+    e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    # over-clustered start: each true cluster split in two
+    labels0 = np.array([0] * 5 + [1] * 5 + [2] * 5 + [3] * 5)
+    k, merged = merge_count(e, labels0, tau=0.47)
+    assert k == 2
+    # merged labels respect the true partition
+    assert len(set(merged[:10])) == 1 and len(set(merged[10:])) == 1
+    assert merged[0] != merged[10]
+
+
+def test_merge_count_respects_tau():
+    from sdtk_tpu.cluster.spectral import merge_count
+
+    emb, _ = blob_embeddings(10, 2, noise=0.03, seed=6)
+    e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    labels0 = np.array([0] * 10 + [1] * 10)
+    # orthogonal clusters: mean cross-cosine ~0 — never merged at tau 0.47,
+    # always merged at tau -1
+    assert merge_count(e, labels0, tau=0.47)[0] == 2
+    assert merge_count(e, labels0, tau=-1.0)[0] == 1
+
+
+def test_diarizer_uses_backend_merge_tau(speakers_dir):
+    """The backend's cluster_merge_tau flows into auto speaker counting:
+    an impossibly high bar prevents any merging (k = max_speakers)."""
+    from sdtk_tpu.pipeline.diarize import DiarizeConfig, Diarizer
+
+    from tests.conftest import make_wav  # noqa: F401 (fixture helper)
+    from sdtk_tpu.data.synth import synth_utterance
+
+    wav = np.concatenate(
+        [synth_utterance(0, 1, 3.0), synth_utterance(1, 2, 3.0)]
+    )
+    d = Diarizer("fake", DiarizeConfig(max_speakers=4, merge_tau=1.01,
+                                       resegment=False))
+    res = d.diarize_waveform(wav)
+    assert res["n_speakers"] == 4  # nothing merged at tau > 1
+    d2 = Diarizer("fake", DiarizeConfig(max_speakers=4))
+    res2 = d2.diarize_waveform(wav)
+    assert res2["n_speakers"] == 2  # backend default bar counts right
+
+
 def test_spectral_cluster_edge_cases():
     assert spectral_cluster(np.zeros((0, 8), np.float32))[1] == 0
     labels, k = spectral_cluster(np.ones((1, 8), np.float32))
