@@ -42,6 +42,16 @@ def cmd_list(args) -> int:
         entries = [e for e in entries if C.compute_status(e) == args.status]
     if args.context:
         entries = [e for e in entries if e.get("context", {}).get("name") == args.context]
+    if args.needs_review:
+        # Anything mid-pipeline needs attention (reference :317-319)
+        entries = [
+            e for e in entries
+            if C.compute_status(e) not in ("complete", "unprocessed")
+        ]
+    if args.offset:
+        entries = entries[args.offset:]
+    if args.limit:
+        entries = entries[: args.limit]
     if args.format == "json":
         for e in entries:
             e["status"] = C.compute_status(e)
@@ -77,7 +87,34 @@ def cmd_show(args) -> int:
         err(f"not in catalog: {args.audio}")
         return 1
     entry["status"] = C.compute_status(entry)
-    emit_json(entry)
+    if args.format == "yaml":
+        import yaml
+
+        print(yaml.safe_dump(entry, sort_keys=False, allow_unicode=True), end="")
+    elif args.format == "text":
+        # Human-readable form (reference :405-439)
+        rec = entry.get("recording", {})
+        ctx = entry.get("context", {})
+        from pathlib import Path as _P
+
+        print(f"Recording: {_P(rec.get('path', '')).name}")
+        print(f"  Path: {rec.get('path', '-')}")
+        print(f"  B3SUM: {rec.get('b3sum', '-')}")
+        if rec.get("duration_sec"):
+            d = rec["duration_sec"]
+            print(f"  Duration: {int(d // 60)}m {int(d % 60)}s ({d:.1f}s)")
+        print(f"  Status: {entry['status']}")
+        if ctx.get("name"):
+            print(f"  Context: {ctx['name']}")
+        if ctx.get("expected_speakers"):
+            print(f"  Expected speakers: {', '.join(ctx['expected_speakers'])}")
+        if ctx.get("tags"):
+            print(f"  Tags: {', '.join(ctx['tags'])}")
+        for t in entry.get("transcriptions", []):
+            print(f"  Transcript [{t.get('backend')}]: {t.get('path')} "
+                  f"({t.get('speaker_count', '?')} speakers)")
+    else:
+        emit_json(entry)
     return 0
 
 
@@ -87,17 +124,28 @@ def cmd_status(args) -> int:
     if not entry:
         err(f"not in catalog: {args.audio}")
         return 1
-    print(C.compute_status(entry))
+    status = C.compute_status(entry)
+    if args.format == "json":
+        print(json.dumps({"status": status}))
+    else:
+        print(status)
     return 0
 
 
 def cmd_register_transcript(args) -> int:
+    transcript = args.transcript or args.transcript_opt
+    if not transcript:
+        err("transcript required (positional or -t/--transcript)")
+        return 1
     b3 = _resolve(args.audio)
     if not b3:
         err(f"not in catalog: {args.audio}")
         return 1
     try:
-        entry = C.register_transcript(b3, args.transcript, args.backend, force=args.force)
+        entry = C.register_transcript(
+            b3, transcript, args.backend, force=args.force,
+            version=args.version, tool_version=args.tool_version,
+        )
     except KeyError:
         err(f"not in catalog: {args.audio}")
         return 1
@@ -114,9 +162,17 @@ def cmd_set_context(args) -> int:
     if not b3:
         err(f"not in catalog: {args.audio}")
         return 1
+    context = args.context if args.context is not None else args.context_opt
     expected = args.expected_speakers.split(",") if args.expected_speakers else None
-    C.set_context(b3, args.context, expected)
-    info(args, f"Context set to '{args.context}'")
+    add_tags = [t.strip() for t in args.tags.split(",")] if args.tags else None
+    remove_tags = (
+        [t.strip() for t in args.remove_tags.split(",")] if args.remove_tags else None
+    )
+    if context is None and not (expected or add_tags or remove_tags):
+        err("nothing to set (need a context, --expected-speakers, or tags)")
+        return 1
+    C.set_context(b3, context, expected, add_tags=add_tags, remove_tags=remove_tags)
+    info(args, f"Context updated" + (f": '{context}'" if context else ""))
     return 0
 
 
@@ -188,7 +244,14 @@ def cmd_show_context(args) -> int:
     if not ctx:
         err(f"context '{args.name}' not found")
         return 1
-    emit_json({args.name: ctx})
+    if args.format == "json":
+        emit_json({args.name: ctx})
+        return 0
+    print(f"Context: {args.name}")
+    if ctx.get("description"):
+        print(f"  Description: {ctx['description']}")
+    speakers = ctx.get("expected_speakers", [])
+    print(f"  Expected speakers: {', '.join(speakers) if speakers else 'none'}")
     return 0
 
 
@@ -210,41 +273,60 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("add", help="Add a recording")
     p.add_argument("audio")
-    p.add_argument("--context")
-    p.add_argument("--tags")
-    p.add_argument("--force", action="store_true")
+    p.add_argument("--context", "-c")
+    p.add_argument("--tags", "-t", help="Comma-separated tags")
+    p.add_argument("--force", "-f", action="store_true")
     p.set_defaults(func=cmd_add)
 
     p = sub.add_parser("list", help="List recordings")
-    p.add_argument("--status", choices=C.STATUS_VALUES)
-    p.add_argument("--context")
-    p.add_argument("--format", choices=["table", "json", "ids", "paths"], default="table")
+    p.add_argument("--status", "-s", choices=C.STATUS_VALUES)
+    p.add_argument("--context", "-c")
+    p.add_argument("--needs-review", "-r", action="store_true",
+                   help="Show only recordings needing review")
+    p.add_argument("--format", "-f", choices=["table", "json", "ids", "paths"],
+                   default="table")
+    p.add_argument("--limit", type=int, help="Maximum results to show")
+    p.add_argument("--offset", type=int, default=0, help="Skip first N results")
     p.set_defaults(func=cmd_list)
 
     p = sub.add_parser("show", help="Show catalog entry")
     p.add_argument("audio", help="Audio path or b3sum prefix")
+    p.add_argument("--format", "-f", choices=["text", "json", "yaml"],
+                   default="text")
     p.set_defaults(func=cmd_show)
 
     p = sub.add_parser("status", help="Show processing status")
     p.add_argument("audio")
+    p.add_argument("--format", "-f", choices=["text", "json"], default="text")
     p.set_defaults(func=cmd_status)
 
     p = sub.add_parser("register-transcript", help="Attach a transcript")
     p.add_argument("audio")
-    p.add_argument("transcript")
-    p.add_argument("--backend", required=True)
-    p.add_argument("--force", action="store_true")
+    p.add_argument("transcript", nargs="?",
+                   help="Transcript file (or use -t/--transcript)")
+    p.add_argument("--transcript", "-t", dest="transcript_opt",
+                   help="Path to transcript JSON file (reference flag form)")
+    p.add_argument("--backend", "-b", required=True)
+    p.add_argument("--version", help="Backend version string")
+    p.add_argument("--tool-version", help="Tool version that created transcript")
+    p.add_argument("--force", "-f", action="store_true")
     p.set_defaults(func=cmd_register_transcript)
 
     p = sub.add_parser("set-context", help="Set recording context")
     p.add_argument("audio")
-    p.add_argument("context")
-    p.add_argument("--expected-speakers")
+    p.add_argument("context", nargs="?",
+                   help="Context name (or use -c/--context)")
+    p.add_argument("--context", "-c", dest="context_opt",
+                   help="Context name (reference flag form)")
+    p.add_argument("--expected-speakers", "-e",
+                   help="Comma-separated expected speaker IDs")
+    p.add_argument("--tags", "-t", help="Comma-separated tags to add")
+    p.add_argument("--remove-tags", help="Comma-separated tags to remove")
     p.set_defaults(func=cmd_set_context)
 
     p = sub.add_parser("remove", help="Remove a recording")
     p.add_argument("audio")
-    p.add_argument("--force", action="store_true")
+    p.add_argument("--force", "-f", action="store_true")
     p.set_defaults(func=cmd_remove)
 
     p = sub.add_parser("query", help="Query entries with jq")
@@ -253,17 +335,19 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("create-context", help="Create a context")
     p.add_argument("name")
-    p.add_argument("--speakers")
-    p.add_argument("--description")
-    p.add_argument("--force", action="store_true")
+    p.add_argument("--speakers", "-s", help="Comma-separated expected speaker IDs")
+    p.add_argument("--description", "-d")
+    p.add_argument("--force", "-f", action="store_true")
     p.set_defaults(func=cmd_create_context)
 
     p = sub.add_parser("list-contexts", help="List contexts")
-    p.add_argument("--format", choices=["table", "json"], default="table")
+    p.add_argument("--format", "-f", choices=["text", "table", "json"],
+                   default="text")
     p.set_defaults(func=cmd_list_contexts)
 
     p = sub.add_parser("show-context", help="Show a context")
     p.add_argument("name")
+    p.add_argument("--format", "-f", choices=["text", "json"], default="text")
     p.set_defaults(func=cmd_show_context)
 
     p = sub.add_parser("context-add-speaker", help="Add expected speaker to context")

@@ -45,6 +45,14 @@ def parse_segments_arg(spec: str) -> list[tuple[float, float]]:
 def add_quiet(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-q", "--quiet", action="store_true", help="Suppress status output")
     parser.add_argument("-v", "--verbose", action="store_true", help="Verbose output")
+    # -V/--version on every tool (reference convention, e.g.
+    # speaker-catalog:839)
+    from .. import __version__
+
+    parser.add_argument(
+        "-V", "--version", action="version",
+        version=f"{parser.prog} (sdtk-tpu {__version__})",
+    )
 
 
 def table(rows: list[list[str]], headers: list[str]) -> str:

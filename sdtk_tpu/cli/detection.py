@@ -403,7 +403,6 @@ def build_parser() -> argparse.ArgumentParser:
         description="Speaker profile management and on-device identification",
     )
     add_quiet(parser)
-    parser.add_argument("-V", "--version", action="version", version="sdtk-tpu 0.1.0")
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("add", help="Add a new speaker")

@@ -12,7 +12,20 @@ from ..transcripts import extract_segments_from_transcript, get_available_speake
 from .common import add_quiet, emit_json, err, info, table
 
 
+def _resolve_extract_target(args) -> tuple[str | None, str | None]:
+    """Both calling conventions: ours ``extract <speaker_id> <audio>`` and
+    the reference's ``extract <audio> -s <speaker_id>``
+    (speaker_samples:940-951)."""
+    if args.arg2 is not None:
+        return args.arg1, args.arg2
+    return args.speaker_id_opt, args.arg1
+
+
 def cmd_extract(args) -> int:
+    speaker_id, audio = _resolve_extract_target(args)
+    if not speaker_id:
+        err("speaker id required (positional or -s/--speaker-id)")
+        return 1
     data = load_transcript(args.transcript)
     label = args.speaker_label
     if not label:
@@ -27,24 +40,66 @@ def cmd_extract(args) -> int:
     if not segments:
         err(f"no segments for label '{label}'")
         return 1
+    if args.format == "mp3":
+        # No MP3 encoder in-process (the reference shells out to ffmpeg,
+        # speaker_samples:280-326); samples are stored lossless instead.
+        info(args, "mp3 output not available (no encoder); writing wav")
+    if args.dry_run:
+        total = 0.0
+        n = 0
+        for seg in segments:
+            dur = seg["end"] - seg["start"]
+            if args.max_segments and n >= args.max_segments:
+                break
+            if args.max_duration and total + dur > args.max_duration:
+                break
+            total += dur
+            n += 1
+            print(json.dumps({"speaker_id": speaker_id,
+                              "start": seg["start"], "end": seg["end"],
+                              "duration": round(dur, 3)}))
+        info(args, f"[dry-run] would extract {n} sample(s), {total:.1f}s total")
+        return 0
     written = S.extract_samples(
-        args.speaker_id,
-        args.audio,
+        speaker_id,
+        audio,
         segments,
         speaker_label=label,
         transcript_path=args.transcript,
         max_segments=args.max_segments,
         max_duration=args.max_duration,
     )
-    info(args, f"Extracted {len(written)} sample(s) for '{args.speaker_id}'")
+    info(args, f"Extracted {len(written)} sample(s) for '{speaker_id}'")
     for meta in written:
         print(meta["sample_id"])
     return 0
 
 
 def cmd_segments(args) -> int:
-    data = load_transcript(args.transcript)
-    for label in args.speaker_labels or get_available_speakers(data):
+    transcript = args.transcript_opt or args.transcript
+    if not transcript:
+        err("transcript required (positional or -t/--transcript)")
+        return 1
+    data = load_transcript(transcript)
+    labels = args.speaker_labels or (
+        [args.speaker_label] if args.speaker_label else None
+    )
+    if labels:
+        # Reference JSONL record shape (speaker_samples:536-545)
+        for label in labels:
+            for seg in extract_segments_from_transcript(
+                data, label, min_duration=args.min_duration, max_gap=args.max_gap
+            ):
+                print(json.dumps({
+                    "speaker_id": args.speaker_id_opt or "unknown",
+                    "audio": args.audio,
+                    "speaker": label,
+                    "start": seg["start"],
+                    "end": seg["end"],
+                    "text": seg.get("text", ""),
+                }))
+        return 0
+    for label in get_available_speakers(data):
         for seg in extract_segments_from_transcript(
             data, label, min_duration=args.min_duration, max_gap=args.max_gap
         ):
@@ -78,28 +133,74 @@ def cmd_list(args) -> int:
 def cmd_info(args) -> int:
     for meta in S.get_speaker_samples(args.speaker_id):
         if meta.get("sample_id") == args.sample_id:
-            emit_json(meta)
+            if args.format == "yaml":
+                import yaml
+
+                print(yaml.safe_dump(meta, sort_keys=False), end="")
+            else:
+                emit_json(meta)
             return 0
     err(f"sample '{args.sample_id}' not found for '{args.speaker_id}'")
     return 1
 
 
-def cmd_remove(args) -> int:
-    sdir = S.speaker_samples_dir(args.speaker_id)
+def _remove_one(sdir, sample_id: str, dry_run: bool) -> int:
     removed = 0
     for suffix in (".wav", ".mp3", ".meta.yaml"):
-        p = sdir / f"{args.sample_id}{suffix}"
+        p = sdir / f"{sample_id}{suffix}"
         if p.exists():
-            p.unlink()
+            if not dry_run:
+                p.unlink()
             removed += 1
-    if not removed:
-        err(f"sample '{args.sample_id}' not found")
+    return removed
+
+
+def cmd_remove(args) -> int:
+    sdir = S.speaker_samples_dir(args.speaker_id)
+    if args.sample_id:
+        targets = [args.sample_id]
+    elif args.all or args.source:
+        metas = S.get_speaker_samples(args.speaker_id)
+        if args.source:
+            metas = [m for m in metas
+                     if args.source in str(m.get("source", {}).get("audio_file", ""))]
+        targets = [m["sample_id"] for m in metas if m.get("sample_id")]
+        if targets and not (args.force or args.dry_run):
+            import sys as _sys
+
+            if _sys.stdin.isatty():
+                reply = input(f"Remove {len(targets)} sample(s)? [y/N] ")
+                if reply.strip().lower() not in ("y", "yes"):
+                    info(args, "Aborted")
+                    return 1
+    else:
+        err("sample id, --all, or --source required")
         return 1
-    info(args, f"Removed {args.sample_id}")
+    removed = 0
+    for sid in targets:
+        n = _remove_one(sdir, sid, args.dry_run)
+        if n and args.dry_run:
+            print(sid)
+        removed += 1 if n else 0
+    if not removed:
+        err("no matching samples")
+        return 1
+    info(args, f"{'[dry-run] would remove' if args.dry_run else 'Removed'} "
+               f"{removed} sample(s)")
     return 0
 
 
 def cmd_speakers(args) -> int:
+    if args.transcript:
+        # Reference behavior: list the speakers present in a transcript
+        # (speaker_samples:801-815).
+        from ..transcripts import detect_transcript_format
+
+        data = load_transcript(args.transcript)
+        speakers = get_available_speakers(data)
+        print(f"Format: {detect_transcript_format(data)}")
+        print(f"Speakers: {', '.join(speakers) if speakers else 'none'}")
+        return 0
     from .. import config
 
     root = config.samples_dir()
@@ -118,7 +219,7 @@ def cmd_review(args) -> int:
         return 1
     updated = S.set_review_status(
         args.speaker_id,
-        sample_id=args.sample_id,
+        sample_id=args.sample_id or args.sample_id_pos,
         source_b3sum=args.source_b3sum,
         status=status,
         notes=args.notes,
@@ -140,27 +241,47 @@ def build_parser() -> argparse.ArgumentParser:
     add_quiet(parser)
     sub = parser.add_subparsers(dest="command", required=True)
 
-    p = sub.add_parser("extract", help="Extract samples from a recording")
-    p.add_argument("speaker_id")
-    p.add_argument("audio")
-    p.add_argument("--transcript", "-t", required=True)
-    p.add_argument("--speaker-label", "-l")
-    p.add_argument("--max-segments", type=int)
-    p.add_argument("--max-duration", type=float)
-    p.add_argument("--min-duration", type=float, default=0.5)
-    p.add_argument("--max-gap", type=float, default=1.0)
+    p = sub.add_parser("extract", help="Extract samples from audio")
+    # Dual convention: `extract <speaker_id> <audio>` (ours) or the
+    # reference's `extract <audio> -s <speaker_id>` (speaker_samples:940-951)
+    p.add_argument("arg1", metavar="audio|speaker_id")
+    p.add_argument("arg2", nargs="?", metavar="audio")
+    p.add_argument("-s", "--speaker-id", dest="speaker_id_opt",
+                   help="Target speaker ID for storage")
+    p.add_argument("--transcript", "-t", required=True, help="Transcript JSON file")
+    p.add_argument("--speaker-label", "-l", help="Speaker label in transcript")
+    p.add_argument("--format", choices=["mp3", "wav"], default="wav",
+                   help="Output format (mp3 falls back to wav: no encoder)")
+    p.add_argument("--max-segments", type=int, help="Maximum segments to extract")
+    p.add_argument("--max-duration", type=float, help="Maximum total duration (sec)")
+    p.add_argument("--min-duration", type=float, default=0.5,
+                   help="Minimum segment duration (sec)")
+    p.add_argument("--max-gap", type=float, default=1.0,
+                   help="Max gap to merge segments (sec)")
+    p.add_argument("-n", "--dry-run", action="store_true",
+                   help="Show what would be extracted")
     p.set_defaults(func=cmd_extract)
 
-    p = sub.add_parser("segments", help="Print segments as JSONL")
-    p.add_argument("transcript")
+    p = sub.add_parser("segments", help="Output segment times as JSONL")
+    p.add_argument("transcript", nargs="?")
     p.add_argument("speaker_labels", nargs="*")
+    p.add_argument("--transcript", "-t", dest="transcript_opt",
+                   help="Transcript JSON file (flag form)")
+    p.add_argument("--speaker-label", "-l", help="Speaker label")
+    p.add_argument("--speaker-id", "-s", dest="speaker_id_opt",
+                   help="Speaker ID for output")
+    p.add_argument("--audio", "-a", help="Audio file path (for output)")
     p.add_argument("--min-duration", type=float, default=0.5)
     p.add_argument("--max-gap", type=float, default=1.0)
     p.set_defaults(func=cmd_segments)
 
-    p = sub.add_parser("list", help="List samples")
+    p = sub.add_parser("list", help="List stored samples")
     p.add_argument("speaker_id", nargs="?")
-    p.add_argument("--review-status", choices=["pending", "reviewed", "rejected"])
+    p.add_argument("--status", "--review-status", dest="review_status",
+                   choices=["pending", "reviewed", "rejected"],
+                   help="Filter by review status")
+    p.add_argument("--show-review", action="store_true",
+                   help="Show review status (always shown; kept for parity)")
     p.add_argument("--format", choices=["table", "json"], default="table")
     p.add_argument("--limit", type=int)
     p.add_argument("--offset", type=int, default=0)
@@ -169,23 +290,35 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("info", help="Show sample metadata")
     p.add_argument("speaker_id")
     p.add_argument("sample_id")
+    p.add_argument("--format", choices=["yaml", "json"], default="yaml",
+                   help="Output format (reference default: yaml)")
     p.set_defaults(func=cmd_info)
 
-    p = sub.add_parser("remove", help="Remove a sample")
+    p = sub.add_parser("remove", help="Remove samples")
     p.add_argument("speaker_id")
-    p.add_argument("sample_id")
+    p.add_argument("sample_id", nargs="?")
+    p.add_argument("--all", action="store_true", help="Remove all samples")
+    p.add_argument("--source", help="Remove samples from matching source path")
+    p.add_argument("-f", "--force", action="store_true", help="Skip confirmation")
+    p.add_argument("-n", "--dry-run", action="store_true",
+                   help="Show what would be removed")
     p.set_defaults(func=cmd_remove)
 
-    p = sub.add_parser("speakers", help="List speakers with samples")
+    p = sub.add_parser("speakers",
+                       help="List speakers in a transcript (or with stored samples)")
+    p.add_argument("transcript", nargs="?",
+                   help="Transcript JSON file; omit to list stored-sample speakers")
     p.set_defaults(func=cmd_speakers)
 
-    p = sub.add_parser("review", help="Approve/reject samples")
+    p = sub.add_parser("review", help="Review samples (approve/reject)")
     p.add_argument("speaker_id")
+    p.add_argument("sample_id_pos", nargs="?", metavar="sample_id")
     p.add_argument("--sample-id")
-    p.add_argument("--source-b3sum")
-    p.add_argument("--approve", action="store_true")
-    p.add_argument("--reject", action="store_true")
-    p.add_argument("--notes")
+    p.add_argument("--source-b3sum",
+                   help="Review all samples from source with this b3sum prefix")
+    p.add_argument("--approve", action="store_true", help="Mark as reviewed/approved")
+    p.add_argument("--reject", action="store_true", help="Mark as rejected")
+    p.add_argument("--notes", help="Review notes")
     p.set_defaults(func=cmd_review)
 
     return parser

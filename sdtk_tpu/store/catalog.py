@@ -144,6 +144,8 @@ def register_transcript(
     transcript_path: str | Path,
     backend: str,
     force: bool = False,
+    version: str | None = None,
+    tool_version: str | None = None,
 ) -> dict[str, Any]:
     """Attach a transcript to a catalog entry (reference :470-547): counts
     speakers, per-backend dedupe unless force."""
@@ -163,31 +165,49 @@ def register_transcript(
         raise FileExistsError(f"transcript for backend '{backend}' already registered")
     if existing:
         transcriptions[:] = [t for t in transcriptions if t.get("backend") != backend]
-    transcriptions.append(
-        {
-            "backend": backend,
-            "path": str(transcript_path),
-            "speaker_count": len(speakers),
-            "speakers": speakers,
-            "registered_at": utc_now_iso(),
-        }
-    )
+    record: dict[str, Any] = {
+        "backend": backend,
+        "path": str(transcript_path),
+        "speaker_count": len(speakers),
+        "speakers": speakers,
+        "registered_at": utc_now_iso(),
+    }
+    if version:
+        record["version"] = version
+    if tool_version:
+        record["tool_version"] = tool_version
+    transcriptions.append(record)
     entry["status"] = compute_status(entry)
     save_entry(entry)
     return entry
 
 
-def set_context(b3sum: str, context: str, expected_speakers: list[str] | None = None) -> dict[str, Any]:
+def set_context(
+    b3sum: str,
+    context: str | None,
+    expected_speakers: list[str] | None = None,
+    add_tags: list[str] | None = None,
+    remove_tags: list[str] | None = None,
+) -> dict[str, Any]:
     entry = load_entry(b3sum)
     if entry is None:
         raise KeyError(b3sum)
-    entry.setdefault("context", {})["name"] = context
+    ctx_block = entry.setdefault("context", {})
+    if context is not None:
+        ctx_block["name"] = context
+        if expected_speakers is None:
+            ctx = get_context(context)
+            if ctx:
+                ctx_block["expected_speakers"] = list(ctx.get("expected_speakers", []))
     if expected_speakers is not None:
-        entry["context"]["expected_speakers"] = expected_speakers
-    elif context:
-        ctx = get_context(context)
-        if ctx:
-            entry["context"]["expected_speakers"] = list(ctx.get("expected_speakers", []))
+        ctx_block["expected_speakers"] = expected_speakers
+    if add_tags or remove_tags:
+        tags = list(ctx_block.get("tags", []))
+        for t in add_tags or []:
+            if t not in tags:
+                tags.append(t)
+        tags = [t for t in tags if t not in set(remove_tags or [])]
+        ctx_block["tags"] = tags
     save_entry(entry)
     return entry
 

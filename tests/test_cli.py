@@ -122,7 +122,7 @@ def test_catalog_flow(tmp_path, capsys):
     assert cli_catalog.main(["status", b3]) == 0
     assert capsys.readouterr().out.strip() == "transcribed"
 
-    assert cli_catalog.main(["show", b3[:8]]) == 0
+    assert cli_catalog.main(["show", b3[:8], "--format", "json"]) == 0
     entry = json.loads(capsys.readouterr().out)
     assert entry["context"]["expected_speakers"] == ["alice", "bob"]
 
@@ -163,7 +163,7 @@ def test_samples_cli(tmp_path, capsys):
     assert metas and metas[0]["speaker_id"] == "alice"
 
     assert cli_samples.main(["review", "alice", "--sample-id", "sample-001", "--approve"]) == 0
-    assert cli_samples.main(["info", "alice", "sample-001"]) == 0
+    assert cli_samples.main(["info", "alice", "sample-001", "--format", "json"]) == 0
     meta = json.loads(capsys.readouterr().out)
     assert meta["review"]["status"] == "reviewed"
 

@@ -115,7 +115,7 @@ def test_catalog_set_context_and_remove(fake_env, tmp_path, capsys):
     assert cli_cat.main(["-q", "add", str(wav)]) == 0
     assert cli_cat.main(["-q", "set-context", str(wav), "standup",
                          "--expected-speakers", "alice,bob"]) == 0
-    assert cli_cat.main(["show", str(wav)]) == 0
+    assert cli_cat.main(["show", str(wav), "--format", "json"]) == 0
     entry = out_json(capsys)
     assert entry["context"]["name"] == "standup"
     assert entry["context"]["expected_speakers"] == ["alice", "bob"]
@@ -135,8 +135,48 @@ def test_catalog_status_filter_and_prefix_resolution(fake_env, tmp_path, capsys)
     assert len(entries) == 2
     b3 = entries[0]["recording"]["b3sum"]
     # b3sum-prefix resolution (reference speaker-catalog:164-179)
-    assert cli_cat.main(["show", b3[:8]]) == 0
+    assert cli_cat.main(["show", b3[:8], "--format", "json"]) == 0
     assert out_json(capsys)["recording"]["b3sum"] == b3
+    # text is the reference's default show format (speaker-catalog:865)
+    assert cli_cat.main(["show", b3[:8]]) == 0
+    assert "B3SUM:" in capsys.readouterr().out
+
+
+def test_catalog_reference_calling_conventions(fake_env, tmp_path, capsys):
+    """Reference CLI shapes (speaker-catalog:845-926): register-transcript
+    -t flag, set-context -c flag + tag editing, list --needs-review/--limit,
+    status --format json, -V."""
+    wav = make_wav(tmp_path / "rc.wav", seconds=1.0, freq=270, seed=31)
+    tr = tmp_path / "t.json"
+    tr.write_text(json.dumps({"utterances": [
+        {"speaker": "A", "start": 0, "end": 900, "text": "hi"}]}))
+    assert cli_cat.main(["-q", "add", str(wav), "-t", "meeting,q3"]) == 0
+    assert cli_cat.main(["-q", "register-transcript", str(wav),
+                         "-t", str(tr), "-b", "assemblyai",
+                         "--tool-version", "stt-1.2"]) == 0
+    assert cli_cat.main(["show", str(wav), "-f", "json"]) == 0
+    entry = out_json(capsys)
+    assert entry["transcriptions"][0]["tool_version"] == "stt-1.2"
+
+    assert cli_cat.main(["-q", "set-context", str(wav), "-c", "standup",
+                         "--tags", "weekly", "--remove-tags", "q3"]) == 0
+    assert cli_cat.main(["show", str(wav), "-f", "json"]) == 0
+    ctx = out_json(capsys)["context"]
+    assert ctx["name"] == "standup"
+    assert "weekly" in ctx["tags"] and "q3" not in ctx["tags"]
+
+    assert cli_cat.main(["status", str(wav), "--format", "json"]) == 0
+    assert out_json(capsys)["status"] == "transcribed"
+
+    # transcribed → mid-pipeline → shows under --needs-review
+    assert cli_cat.main(["list", "--needs-review", "-f", "ids"]) == 0
+    assert capsys.readouterr().out.strip()
+    assert cli_cat.main(["list", "-f", "json", "--limit", "1"]) == 0
+    assert len(out_json(capsys)) == 1
+
+    with pytest.raises(SystemExit) as e:
+        cli_cat.main(["-V"])
+    assert e.value.code == 0
 
 
 def test_catalog_register_transcript_force(fake_env, tmp_path, capsys):
@@ -152,7 +192,7 @@ def test_catalog_register_transcript_force(fake_env, tmp_path, capsys):
                          "--backend", "assemblyai"]) == 1
     assert cli_cat.main(["-q", "register-transcript", str(wav), str(tr),
                          "--backend", "assemblyai", "--force"]) == 0
-    assert cli_cat.main(["show", str(wav)]) == 0
+    assert cli_cat.main(["show", str(wav), "--format", "json"]) == 0
     assert len(out_json(capsys)["transcriptions"]) == 1
 
 
@@ -176,7 +216,7 @@ def test_samples_info_remove_speakers(extracted_sample, capsys):
     assert cli_smp.main(["list", "spk", "--format", "json"]) == 0
     samples = out_json(capsys)
     sid = samples[0]["sample_id"]
-    assert cli_smp.main(["info", "spk", sid]) == 0
+    assert cli_smp.main(["info", "spk", sid, "--format", "json"]) == 0
     meta = out_json(capsys)
     assert meta["segment"]["text"] == "hello world"
     assert cli_smp.main(["-q", "remove", "spk", sid]) == 0
@@ -194,6 +234,50 @@ def test_samples_review_by_source_b3sum(extracted_sample, capsys):
     meta = out_json(capsys)[0]
     assert meta["review"]["status"] == "rejected"
     assert meta["review"]["notes"] == "clipping"
+
+
+def test_samples_reference_calling_conventions(fake_env, tmp_path, capsys):
+    """The reference's exact CLI shapes work (speaker_samples:940-1004):
+    extract <audio> -s ID, segments -t F -l L, speakers <transcript>,
+    remove --all -f, review <id> <sample_id> positional, info yaml."""
+    wav = make_wav(tmp_path / "r.wav", seconds=3.0, freq=310, seed=21)
+    tr = tmp_path / "tr.json"
+    tr.write_text(json.dumps({"utterances": [
+        {"speaker": "A", "start": 0, "end": 2500, "text": "ref style"}]}))
+
+    # dry-run extracts nothing
+    assert cli_smp.main(["-q", "extract", str(wav), "-s", "ref", "-t",
+                         str(tr), "-l", "A", "-n"]) == 0
+    capsys.readouterr()  # drop the dry-run JSONL preview
+    assert cli_smp.main(["list", "ref", "--format", "json"]) == 0
+    assert out_json(capsys) == []
+
+    assert cli_smp.main(["-q", "extract", str(wav), "-s", "ref",
+                         "-t", str(tr), "-l", "A", "--format", "mp3"]) == 0
+    capsys.readouterr()
+
+    # segments via flags, enriched record shape
+    assert cli_smp.main(["segments", "-t", str(tr), "-l", "A",
+                         "-s", "ref", "-a", str(wav)]) == 0
+    rec = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert rec["speaker_id"] == "ref" and rec["audio"] == str(wav)
+    assert rec["text"] == "ref style"
+
+    # speakers <transcript> lists transcript speakers + format
+    assert cli_smp.main(["speakers", str(tr)]) == 0
+    out = capsys.readouterr().out
+    assert "assemblyai" in out and "A" in out
+
+    # review by positional sample id; info defaults to yaml
+    assert cli_smp.main(["-q", "review", "ref", "sample-001", "--approve"]) == 0
+    assert cli_smp.main(["info", "ref", "sample-001"]) == 0
+    out = capsys.readouterr().out
+    assert "status: reviewed" in out  # yaml, not json
+
+    # remove --all with -f
+    assert cli_smp.main(["-q", "remove", "ref", "--all", "-f"]) == 0
+    assert cli_smp.main(["list", "ref", "--format", "json"]) == 0
+    assert out_json(capsys) == []
 
 
 def test_samples_list_pagination(fake_env, tmp_path, capsys):

@@ -194,7 +194,7 @@ def test_contexts_registry(world):
     r = run(env, "catalog", "list-contexts", "--format", "json")
     ctxs = json.loads(r.stdout)
     assert "standup" in ctxs
-    r = run(env, "catalog", "show-context", "standup")
+    r = run(env, "catalog", "show-context", "standup", "--format", "json")
     assert "alice" in json.loads(r.stdout)["standup"]["expected_speakers"]
 
 
