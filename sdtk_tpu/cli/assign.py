@@ -58,7 +58,24 @@ def cmd_show(args) -> int:
     if not data:
         err(f"no assignments for: {args.audio}")
         return 1
-    emit_json(data)
+    fmt = getattr(args, "format", "json")
+    if fmt == "yaml":
+        import yaml
+
+        print(yaml.safe_dump(data, sort_keys=False), end="")
+    elif fmt == "text":
+        # Human-readable (reference speaker-assign:652-700 shape)
+        print(f"Assignments for {data.get('recording_b3sum', b3)}:")
+        for label, m in sorted(data.get("mappings", {}).items()):
+            sid = m.get("speaker_id") or "(unassigned)"
+            conf = m.get("confidence", "?")
+            score = m.get("score")
+            line = f"  {label} -> {sid}  [{conf}"
+            if score is not None:
+                line += f", score {score:.3f}"
+            print(line + "]")
+    else:
+        emit_json(data)
     return 0
 
 
@@ -87,6 +104,14 @@ def cmd_apply(args) -> int:
 
 def cmd_clear(args) -> int:
     b3 = catalog_store.resolve_b3sum(args.audio)
+    if b3 and assignment_store.load_assignments(b3) and not args.force:
+        import sys as _sys
+
+        if _sys.stdin.isatty():
+            reply = input("Clear assignments? [y/N] ")
+            if reply.strip().lower() not in ("y", "yes"):
+                info(args, "Aborted")
+                return 1
     if not b3 or not assignment_store.clear_assignments(b3):
         err(f"no assignments for: {args.audio}")
         return 1
@@ -103,10 +128,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("assign", help="Assign speaker names to transcript labels")
     p.add_argument("audio")
     p.add_argument("--transcript", "-t", required=True)
-    p.add_argument("--use-embeddings", action="store_true", default=True)
+    p.add_argument("--use-embeddings", "-e", action="store_true", default=True)
     p.add_argument("--no-embeddings", dest="use_embeddings", action="store_false")
-    p.add_argument("--use-llm", action="store_true")
-    p.add_argument("--context")
+    p.add_argument("--use-llm", "-l", action="store_true")
+    p.add_argument("--context", "-c")
     p.add_argument("--expected-speakers")
     p.add_argument("--min-trust", choices=["low", "medium", "high"], default="low")
     # reference speaker-assign:756 defaults the CLI threshold to 0.3
@@ -117,12 +142,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tags")
     p.add_argument("--backend", "-b")
     p.add_argument("-n", "--dry-run", action="store_true")
-    p.add_argument("--format", choices=["text", "json"], default="text")
+    p.add_argument("--format", "-f", choices=["text", "json"], default="text")
     p.add_argument("-o", "--output")
     p.set_defaults(func=cmd_assign)
 
     p = sub.add_parser("show", help="Show assignments for a recording")
     p.add_argument("audio")
+    p.add_argument("--format", "-f", choices=["text", "json", "yaml"],
+                   default="text")
     p.set_defaults(func=cmd_show)
 
     p = sub.add_parser("apply", help="Rewrite transcript labels from assignments")
@@ -134,6 +161,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("clear", help="Clear assignments for a recording")
     p.add_argument("audio")
+    p.add_argument("--force", "-f", action="store_true", help="Skip confirmation")
     p.set_defaults(func=cmd_clear)
 
     return parser

@@ -117,11 +117,30 @@ def cmd_review(args) -> int:
         except KeyError as e:
             err(e.args[0] if e.args else str(e))
             return 1
+        if getattr(args, "context", None):
+            session.context = args.context
+        if getattr(args, "speaker", None):
+            session.segments = [
+                s for s in session.segments if s.speaker_id == args.speaker
+            ]
+            if not session.segments:
+                info(args, f"No segments assigned to '{args.speaker}'.")
+                return 0
+
+    def read_key() -> str:
+        if getattr(args, "simple", False):
+            # Reference --simple: plain line prompts, no raw terminal
+            # (speaker-review:887)
+            try:
+                return (input("> ").strip() or " ")[0]
+            except EOFError:
+                return "q"
+        return _getch()
 
     idx = session.position
     while idx < len(session.segments):
         _render(session, idx)
-        raw = _getch()
+        raw = read_key()
         if raw == "N":  # previous (case-sensitive, reference :78)
             idx = max(0, idx - 1)
             session.position = idx
@@ -215,7 +234,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("review", help="Review assignments for a recording")
     p.add_argument("audio", nargs="?", help="Audio path / b3sum prefix (default: next needing review)")
-    p.add_argument("--continue", dest="cont", action="store_true")
+    p.add_argument("--continue", "-c", dest="cont", action="store_true",
+                   help="Continue previous session")
+    p.add_argument("--context", help="Context override for name resolution")
+    p.add_argument("--speaker", help="Only review segments assigned to this speaker")
+    p.add_argument("--simple", "-s", action="store_true",
+                   help="Simple prompt mode (no raw terminal)")
     p.set_defaults(func=cmd_review)
 
     p = sub.add_parser("status", help="Show session status")

@@ -435,9 +435,10 @@ def detect_names(
     transcript: str | Path | dict[str, Any],
     provider: str | None = None,
     model: str | None = None,
+    use_cache: bool = True,
 ) -> dict[str, str | None]:
     """Quick mode: {label: name|None} (reference :498-559)."""
-    analysis = analyze_transcript(transcript, provider, model)
+    analysis = analyze_transcript(transcript, provider, model, use_cache=use_cache)
     return {
         d["speaker_label"]: d.get("detected_name")
         for d in analysis.get("detections", [])

@@ -82,7 +82,11 @@ def transcribe_local(audio_path: Path, output_path: Path, backend_name: str | No
     return output_path
 
 
-def transcript_path_for(audio_path: Path, backend: str) -> Path:
+def transcript_path_for(
+    audio_path: Path, backend: str, output_dir: str | Path | None = None
+) -> Path:
+    if output_dir:
+        return Path(output_dir) / f"{audio_path.stem}.{backend}.json"
     return audio_path.with_suffix(f".{backend}.json")
 
 
@@ -92,6 +96,8 @@ def process_single(
     context: str | None = None,
     use_llm: bool = False,
     embed_backend: str | None = None,
+    output_dir: str | Path | None = None,
+    skip_existing: bool = False,
     log: Callable[[str], None] | None = None,
 ) -> dict[str, Any]:
     """Full per-recording pipeline (reference process_single :512-577)."""
@@ -101,14 +107,22 @@ def process_single(
 
     # 1. ensure in catalog
     b3sum = compute_b3sum(audio_path)
+    if skip_existing:
+        from ..store import assignments as assignment_store
+
+        if assignment_store.load_assignments(b3sum):
+            log(f"skipping {audio_path.name} (already processed)")
+            return {"b3sum": b3sum, "skipped": True}
     if catalog_store.load_entry(b3sum) is None:
         catalog_store.add_recording(audio_path, context=context)
         log(f"cataloged {audio_path.name} ({b3sum[:8]}…)")
 
     # 2. transcribe (skip if output exists — resume semantics, ref :419-422)
+    if output_dir:
+        Path(output_dir).mkdir(parents=True, exist_ok=True)
     transcripts: list[tuple[str, Path]] = []
     for backend in stt_backends:
-        out = transcript_path_for(audio_path, backend)
+        out = transcript_path_for(audio_path, backend, output_dir)
         if out.exists():
             transcripts.append((backend, out))
             continue

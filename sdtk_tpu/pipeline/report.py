@@ -65,7 +65,11 @@ def _parse_ts(ts: str | None) -> datetime | None:
         return None
 
 
-def compute_system_stats(now: datetime | None = None) -> SystemStats:
+def compute_system_stats(
+    now: datetime | None = None,
+    stale_days: int = STALE_DAYS,
+    confidence_threshold: int = LOW_CONFIDENCE_CUTOFF,
+) -> SystemStats:
     now = now or datetime.now(timezone.utc)
     stats = SystemStats()
 
@@ -78,7 +82,7 @@ def compute_system_stats(now: datetime | None = None) -> SystemStats:
         if (
             status not in ("complete",)
             and updated
-            and now - updated > timedelta(days=STALE_DAYS)
+            and now - updated > timedelta(days=stale_days)
         ):
             stats.stale_recordings.append(
                 {
@@ -118,7 +122,7 @@ def compute_system_stats(now: datetime | None = None) -> SystemStats:
             else:
                 stats.unassigned_labels += 1
             conf = m.get("confidence", "unassigned")
-            if CONFIDENCE_SCORE.get(conf, 0) < LOW_CONFIDENCE_CUTOFF:
+            if CONFIDENCE_SCORE.get(conf, 0) < confidence_threshold:
                 stats.low_confidence.append(
                     {
                         "recording_b3sum": a.get("recording_b3sum"),

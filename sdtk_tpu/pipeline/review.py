@@ -45,6 +45,7 @@ class ReviewSession:
     transcript_path: str
     segments: list[ReviewSegment] = field(default_factory=list)
     position: int = 0
+    context: str | None = None  # name-resolution context (reference :834-840)
     started_at: str = ""
     updated_at: str = ""
 
@@ -86,6 +87,7 @@ def build_session(b3sum: str, max_segments_per_label: int = 3) -> ReviewSession:
         raise KeyError(f"no assignments for {b3sum}")
     entry = catalog_store.load_entry(b3sum)
     audio_path = entry.get("recording", {}).get("path", "") if entry else ""
+    context = entry.get("context", {}).get("name") if entry else None
     transcript_path = assignments.get("transcript_path", "")
     data = load_transcript(transcript_path)
 
@@ -118,6 +120,7 @@ def build_session(b3sum: str, max_segments_per_label: int = 3) -> ReviewSession:
         audio_path=audio_path,
         transcript_path=str(transcript_path),
         segments=segments,
+        context=context,
         started_at=now,
         updated_at=now,
     )

@@ -49,7 +49,9 @@ class ProcessingQueue:
             {"updated_at": _now(), "items": list(self._items.values())},
         )
 
-    def add(self, path: str | Path, force: bool = False) -> dict[str, Any]:
+    def add(
+        self, path: str | Path, force: bool = False, context: str | None = None
+    ) -> dict[str, Any]:
         """Add (or re-arm) a work item.  Failed/skipped items reset to
         pending; completed items only reset with force."""
         key = str(Path(path).resolve())
@@ -63,6 +65,8 @@ class ProcessingQueue:
                     "attempts": 0,
                     "error": None,
                 }
+                if context:
+                    item["context"] = context
                 self._items[key] = item
             elif item["status"] in ("failed", "skipped") or (
                 force and item["status"] == "completed"
@@ -112,9 +116,13 @@ class ProcessingQueue:
                 counts[item["status"]] = counts.get(item["status"], 0) + 1
             return counts
 
-    def clear(self, only_completed: bool = False) -> int:
+    def clear(
+        self, only_completed: bool = False, status: str | None = None
+    ) -> int:
         with self._lock:
-            if only_completed:
+            if status:
+                keys = [k for k, v in self._items.items() if v["status"] == status]
+            elif only_completed:
                 keys = [k for k, v in self._items.items() if v["status"] == "completed"]
             else:
                 keys = list(self._items)

@@ -113,8 +113,11 @@ def test_assign_full_chain_and_show(world):
     # assignments file exists, catalog status advanced
     r = run(env, "catalog", "list", "--format", "json")
     assert json.loads(r.stdout)[0]["status"] == "assigned"
-    r = run(env, "assign", "show", str(wav))
+    r = run(env, "assign", "show", str(wav), "--format", "json")
     assert "mappings" in json.loads(r.stdout)
+    # text is the reference's default show format (speaker-assign:765)
+    r = run(env, "assign", "show", str(wav))
+    assert "alice" in r.stdout
 
 
 def test_assign_apply_rewrites_labels(world):
