@@ -374,6 +374,14 @@ def cmd_check_validity(args) -> int:
 
 def cmd_validate(args) -> int:
     issues = schemas.validate_all()
+    if getattr(args, "speaker_id", None):
+        # Reference: validate a single speaker's files
+        # (speaker_detection:1307-1361)
+        sid = args.speaker_id
+        issues = {
+            p: w for p, w in issues.items()
+            if f"/{sid}." in f"/{p}" or f"/{sid}/" in f"/{p}"
+        }
     if not issues:
         print("All files valid.")
         return 0
@@ -514,6 +522,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(func=cmd_check_validity)
 
     p = sub.add_parser("validate", help="Validate all DB files")
+    p.add_argument("speaker_id", nargs="?",
+                   help="Only validate this speaker's files")
     p.add_argument("--strict", action="store_true")
     p.set_defaults(func=cmd_validate)
 
