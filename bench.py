@@ -33,12 +33,12 @@ def main() -> int:
     model = EcapaTdnn(EcapaConfig(channels=512))
 
     window_s = 3.0
-    # Steps are dispatch-latency-bound through the device link; batch 64
-    # (192 audio-s/step) already lands 41x the 1000 audio-s/s/chip target
-    # and its compiled program is warm in the server-side compile cache.
-    # Larger batches help further but cost a fresh 20-40 min tunnel
-    # compile — override for A/B runs on persistent hardware.
-    batch = int(os.environ.get("SDTK_BENCH_BATCH", "64"))
+    # Steps are dispatch-latency-bound through the device link, so larger
+    # batches raise throughput: 41.5k audio-s/s at batch 64 -> ~61k at
+    # batch 256 (both warm in the server-side compile cache; a warm
+    # batch-256 run takes <3 min wall).  New batch sizes cost a fresh
+    # 20-40 min tunnel compile — override for A/B runs via SDTK_BENCH_BATCH.
+    batch = int(os.environ.get("SDTK_BENCH_BATCH", "256"))
     n_samples = int(window_s * cfg.sample_rate)
 
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, cfg.n_mels)))
