@@ -1,0 +1,255 @@
+#!/usr/bin/env python3
+"""Run the REFERENCE toolkit's own black-box test suite against THIS
+framework's CLI tools.
+
+The reference's unit tests (evals/speaker_detection/test_*.py, 181
+advertised tests — run_speaker_diarization_tests.sh:224-227) drive the
+tools as subprocesses resolved from their repo root
+(``REPO_ROOT = Path(__file__).parent.parent`` then ``REPO_ROOT / "speaker_detection"``,
+test_cli.py:21-23).  That makes them a portable acceptance suite: we stage
+a fake repo root whose tool entries are thin shims into ``sdtk_tpu.cli.*``,
+copy the reference test files next to it AT RUNTIME (read-only source,
+nothing is committed into this repo), and run them unmodified.
+
+External binaries the reference tests themselves expect are shimmed with
+this framework's first-party implementations:
+
+- ``b3sum``  → sdtk_tpu.utils.hashing (first-party BLAKE3)
+- ``jq``     → sdtk_tpu.utils.jqlite
+- ``ffmpeg`` → tiny lavfi-sine WAV writer (the only invocation shape the
+               tests use: test_e2e_pipeline.py:83-88 and ``-version``)
+
+Module-import tests (test_audio_profiles.py) are served by a shim package
+``speaker_detection_backends`` that re-exports this framework's
+API-parity modules.
+
+Usage:
+    python evals/run_reference_suite.py [--ref /root/reference] [--only NAME]
+Outputs one JSON line with per-file and aggregate pass counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import stat
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+REPO = HERE.parent
+
+TOOL_MODULES = {
+    "speaker_detection": "detection",
+    "speaker_samples": "samples",
+    "speaker_segments": "segments",
+    "speaker-catalog": "catalog",
+    "speaker-assign": "assign",
+    "speaker-llm": "llm",
+    "speaker-review": "review",
+    "speaker-process": "process",
+    "speaker-report": "report",
+}
+
+TOOL_SHIM = """#!{python}
+import sys
+sys.path.insert(0, {repo!r})
+from sdtk_tpu.cli.{module} import main
+sys.exit(main())
+"""
+
+B3SUM_SHIM = """#!{python}
+import sys
+sys.path.insert(0, {repo!r})
+from sdtk_tpu.utils.hashing import compute_b3sum_full
+no_names = "--no-names" in sys.argv[1:]
+paths = [a for a in sys.argv[1:] if not a.startswith("-")]
+for p in paths:
+    digest = compute_b3sum_full(p)
+    print(digest if no_names else f"{{digest}}  {{p}}")
+"""
+
+JQ_SHIM = """#!{python}
+import json, sys
+sys.path.insert(0, {repo!r})
+from sdtk_tpu.utils.jqlite import query
+args = sys.argv[1:]
+if "--version" in args:
+    print("jq-1.7 (sdtk-tpu jqlite shim)")
+    sys.exit(0)
+raw = "-r" in args or "--raw-output" in args
+rest = [a for a in args if not a.startswith("-")]
+if not rest:
+    sys.exit(2)
+expr, files = rest[0], rest[1:]
+data = json.load(open(files[0])) if files else json.load(sys.stdin)
+for out in query(expr, data):
+    if raw and isinstance(out, str):
+        print(out)
+    else:
+        print(json.dumps(out))
+"""
+
+# The only ffmpeg invocations in the reference tests
+# (test_e2e_pipeline.py:83-88, :470): "-version" and
+# "-y -f lavfi -i sine=frequency=F:duration=D -ar R -ac C OUT".
+FFMPEG_SHIM = """#!{python}
+import re, sys, wave
+import numpy as np
+argv = sys.argv[1:]
+if "-version" in argv:
+    print("ffmpeg version 6.0-sdtk-shim (first-party lavfi-sine writer)")
+    sys.exit(0)
+spec = None
+rate = 16000
+channels = 1
+out = None
+i = 0
+while i < len(argv):
+    a = argv[i]
+    if a == "-i":
+        spec = argv[i + 1]; i += 2
+    elif a == "-ar":
+        rate = int(argv[i + 1]); i += 2
+    elif a == "-ac":
+        channels = int(argv[i + 1]); i += 2
+    elif a in ("-y", "-f"):
+        i += 2 if a == "-f" else 1
+    else:
+        out = a; i += 1
+m = re.match(r"sine=frequency=([\\d.]+):duration=([\\d.]+)", spec or "")
+if not (m and out):
+    sys.exit(1)
+freq, dur = float(m.group(1)), float(m.group(2))
+t = np.arange(int(dur * rate)) / rate
+pcm = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+if channels > 1:
+    pcm = np.repeat(pcm[:, None], channels, axis=1)
+with wave.open(out, "wb") as w:
+    w.setnchannels(channels)
+    w.setsampwidth(2)
+    w.setframerate(rate)
+    w.writeframes(pcm.tobytes())
+"""
+
+BACKENDS_PKG_INIT = """import sys
+sys.path.insert(0, {repo!r})
+"""
+
+BACKENDS_PKG_MODULES = {
+    "audio_profiles": "from sdtk_tpu.backends.audio_profiles import *  # noqa\n"
+    "from sdtk_tpu.backends.audio_profiles import (AudioProfile, PROFILES, "
+    "get_profile, register_profile, format_ffmpeg_args)\n",
+    "base": "from sdtk_tpu.backends.base import *  # noqa\n"
+    "from sdtk_tpu.backends.base import (EmbeddingBackend, get_backend, "
+    "list_backends, register_backend, reload_backends_config, DEFAULT_THRESHOLD)\n",
+    "schemas": "from sdtk_tpu.store.schemas import *  # noqa\n",
+    "migrations": "from sdtk_tpu.store.migrations import *  # noqa\n",
+    "transcript": "from sdtk_tpu.transcripts.parsers import *  # noqa\n",
+}
+
+
+def _write_exec(path: Path, text: str) -> None:
+    path.write_text(text)
+    path.chmod(path.stat().st_mode | stat.S_IXUSR | stat.S_IXGRP | stat.S_IXOTH)
+
+
+def stage(ref: Path) -> Path:
+    root = Path(tempfile.mkdtemp(prefix="sdtk_refsuite_"))
+    python = sys.executable
+    for tool, module in TOOL_MODULES.items():
+        _write_exec(root / tool, TOOL_SHIM.format(python=python, repo=str(REPO), module=module))
+    bindir = root / "bin"
+    bindir.mkdir()
+    _write_exec(bindir / "b3sum", B3SUM_SHIM.format(python=python, repo=str(REPO)))
+    _write_exec(bindir / "jq", JQ_SHIM.format(python=python, repo=str(REPO)))
+    _write_exec(bindir / "ffmpeg", FFMPEG_SHIM.format(python=python))
+    pkg = root / "speaker_detection_backends"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text(BACKENDS_PKG_INIT.format(repo=str(REPO)))
+    for name, body in BACKENDS_PKG_MODULES.items():
+        (pkg / f"{name}.py").write_text(
+            BACKENDS_PKG_INIT.format(repo=str(REPO)) + body
+        )
+    testdir = root / "evals" / "speaker_detection"
+    testdir.mkdir(parents=True)
+    for f in sorted((ref / "evals" / "speaker_detection").glob("test_*.py")):
+        shutil.copy2(f, testdir / f.name)
+    return root
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--ref", default=os.environ.get("SDTK_REFERENCE_DIR", "/root/reference"))
+    p.add_argument("--only", help="substring filter on test file names")
+    p.add_argument("--timeout", type=int, default=600)
+    p.add_argument("--verbose", "-v", action="store_true")
+    args = p.parse_args()
+
+    ref = Path(args.ref)
+    if not (ref / "evals" / "speaker_detection").is_dir():
+        print(json.dumps({"error": f"reference not found at {ref}"}))
+        return 2
+
+    root = stage(ref)
+    env = os.environ.copy()
+    env["PATH"] = f"{root / 'bin'}{os.pathsep}{env.get('PATH', '')}"
+    env["SPEAKER_DETECTION_BACKEND"] = env.get("SPEAKER_DETECTION_BACKEND", "fake")
+    env["PYTHONDONTWRITEBYTECODE"] = "1"
+    # Force-disable real LLM/cloud reachability exactly like the reference
+    # suite does (test_speaker_llm.py:44,214): the tests themselves scrub
+    # these, but be safe for any file that forgets.
+    env.pop("SPEECHMATICS_API_KEY", None)
+
+    results = []
+    testdir = root / "evals" / "speaker_detection"
+    for f in sorted(testdir.glob("test_*.py")):
+        if args.only and args.only not in f.name:
+            continue
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, str(f)],
+                capture_output=True, text=True, timeout=args.timeout,
+                env=env, cwd=str(testdir),
+            )
+            out = proc.stdout + proc.stderr
+            rc = proc.returncode
+        except subprocess.TimeoutExpired as e:
+            out = (e.stdout or "") + (e.stderr or "") if isinstance(e.stdout, str) else ""
+            rc = -1
+        m = re.findall(r"Results?: (\d+) passed, (\d+) failed", out)
+        passed, failed = (int(m[-1][0]), int(m[-1][1])) if m else (0, 0)
+        status = "SKIP" if rc == 2 else ("PASS" if rc == 0 and m else "FAIL")
+        if rc == -1:
+            status = "TIMEOUT"
+        results.append({"file": f.name, "status": status, "passed": passed,
+                        "failed": failed, "rc": rc,
+                        "seconds": round(time.time() - t0, 1)})
+        line = f"{f.name:40s} {status:7s} {passed:3d} passed {failed:3d} failed  ({results[-1]['seconds']}s)"
+        print(line, file=sys.stderr)
+        if args.verbose and status not in ("PASS", "SKIP"):
+            print("\n".join(out.splitlines()[-40:]), file=sys.stderr)
+
+    total_pass = sum(r["passed"] for r in results)
+    total_fail = sum(r["failed"] for r in results)
+    print(json.dumps({
+        "benchmark": "reference_suite",
+        "files": len(results),
+        "files_green": sum(r["status"] == "PASS" for r in results),
+        "tests_passed": total_pass,
+        "tests_failed": total_fail,
+        "results": results,
+    }))
+    shutil.rmtree(root, ignore_errors=True)
+    return 0 if total_fail == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,6 +23,7 @@ from typing import Any
 import numpy as np
 
 from .. import config
+from .audio_profiles import AudioProfile, get_profile
 
 DEFAULT_THRESHOLD = 0.354
 
@@ -39,12 +40,28 @@ class EmbeddingBackend(ABC):
         return False
 
     @property
-    @abstractmethod
-    def embedding_dim(self) -> int: ...
+    def embedding_dim(self) -> int | None:
+        """Dimensionality of embeddings (None for API-based backends) —
+        reference base.py:38-40."""
+        return None
 
     @property
     def model_version(self) -> str:
-        return "unknown"
+        return f"{self.name}-unknown"
+
+    @property
+    def audio_profile(self) -> str | "AudioProfile":
+        """Profile name to look up in PROFILES, or an AudioProfile
+        directly (reference base.py:48-59; default "default")."""
+        return "default"
+
+    def get_audio_profile(self) -> "AudioProfile":
+        """Resolve :attr:`audio_profile` to an AudioProfile instance
+        (reference base.py:61-71)."""
+        profile = self.audio_profile
+        if isinstance(profile, str):
+            return get_profile(profile)
+        return profile
 
     def check_embedding_compatibility(
         self, embedding: dict[str, Any]
