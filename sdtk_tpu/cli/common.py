@@ -31,14 +31,22 @@ def parse_kv(items: list[str] | None) -> dict[str, str]:
 
 
 def parse_segments_arg(spec: str) -> list[tuple[float, float]]:
-    """"0-5,10-15" or "0:5,10:15" → [(0,5),(10,15)] (reference
-    speaker_detection:731-751)."""
+    """"0:5,10:15" (or legacy "0-5,10-15") → [(0,5),(10,15)] (reference
+    speaker_detection:731-751 — same error messages and start<end check)."""
     segments = []
     for part in spec.split(","):
         part = part.strip()
-        sep = "-" if "-" in part else ":"
+        sep = ":" if ":" in part else "-"
+        if sep not in part:
+            raise ValueError(f"Invalid segment format '{part}'. Use 'start:end'.")
         a, _, b = part.partition(sep)
-        segments.append((float(a), float(b)))
+        try:
+            start, end = float(a), float(b)
+        except ValueError:
+            raise ValueError(f"Invalid segment times '{part}'. Must be numeric.") from None
+        if start >= end:
+            raise ValueError(f"Invalid segment '{part}'. Start must be < end.")
+        segments.append((start, end))
     return segments
 
 

@@ -147,22 +147,40 @@ def cmd_tag(args) -> int:
 
 
 def cmd_export(args) -> int:
+    """Export speakers for STT integration (reference speaker_detection:652-693):
+    json format wraps records in {"speakers": [...], "context", "exported_at"};
+    speechmatics format is {"speakers": [{"id", "name"}]}."""
     speakers = P.list_all_speakers()
     if args.tags:
         speakers = P.filter_speakers_by_tags(speakers, [t.strip() for t in args.tags.split(",")])
+    context = args.context or "default"
+
+    def _name(s):
+        names = s.get("names", {})
+        return names.get(context, names.get("default", s["id"]))
+
     if args.format == "speechmatics":
+        out = {"speakers": [{"id": s["id"], "name": _name(s)} for s in speakers]}
+    else:
+        from datetime import datetime, timezone
+
         out = {
             "speakers": [
                 {
-                    "label": s["id"],
-                    "name": (s.get("names", {}).get(args.context) if args.context else None)
-                    or s.get("names", {}).get("default", s["id"]),
+                    "id": s["id"],
+                    "name": _name(s),
+                    "nicknames": s.get("nicknames", []),
+                    "tags": s.get("tags", []),
+                    "embeddings": {
+                        backend: len(embs)
+                        for backend, embs in s.get("embeddings", {}).items()
+                    },
                 }
                 for s in speakers
-            ]
+            ],
+            "context": context,
+            "exported_at": datetime.now(timezone.utc).isoformat(),
         }
-    else:
-        out = speakers
     text = json.dumps(out, indent=2, ensure_ascii=False)
     if args.output:
         from ..utils.ioutil import atomic_write_text
@@ -192,29 +210,95 @@ def cmd_query(args) -> int:
 
 
 def cmd_enroll(args) -> int:
+    """Enroll from audio.  Flow and messages mirror reference cmd_enroll
+    (speaker_detection:754-919): profile/audio existence checks, segment
+    source resolution with stderr progress lines, then a dry-run block
+    that prints the plan before any backend work."""
+    from pathlib import Path
+
+    from .. import config as _config
     from ..pipeline import identify as engine
+
+    sid = P.normalize_speaker_id(args.id)
+    if not P.load_speaker(sid):
+        err(f"Error: Speaker '{sid}' not found. Use 'add' first.")
+        return 1
+    audio_path = Path(args.audio)
+    if not audio_path.exists():
+        err(f"Error: Audio file not found: {audio_path}")
+        return 1
+    backend_name = args.backend or _config.default_backend()
 
     segments = None
     if args.segments:
-        segments = parse_segments_arg(args.segments)
+        try:
+            segments = parse_segments_arg(args.segments)
+        except ValueError as e:
+            err(f"Error: {e}")
+            return 1
+    elif args.from_transcript:
+        transcript_path = Path(args.from_transcript)
+        if not transcript_path.exists():
+            err(f"Error: Transcript file not found: {transcript_path}")
+            return 1
+        if not args.speaker_label:
+            err("Error: --speaker-label required with --from-transcript")
+            return 1
+        from ..transcripts import extract_segments_as_tuples, load_transcript
+
+        try:
+            segments = extract_segments_as_tuples(
+                load_transcript(transcript_path), args.speaker_label
+            )
+        except Exception as e:  # noqa: BLE001 — CLI boundary
+            err(f"Error extracting segments: {e}")
+            return 1
+        if not segments:
+            err(f"Error: No segments found for speaker '{args.speaker_label}' in transcript.")
+            return 1
+        total = sum(e - s for s, e in segments)
+        err(
+            f"Found {len(segments)} segments for speaker "
+            f"'{args.speaker_label}' ({total:.1f}s total)"
+        )
     elif args.from_stdin:
         segments = []
-        for line in sys.stdin:
-            line = line.strip()
-            if line:
+        try:
+            for line in sys.stdin:
+                line = line.strip()
+                if not line:
+                    continue
                 d = json.loads(line)
-                segments.append((d["start"], d["end"]))
+                if d.get("start") is not None and d.get("end") is not None:
+                    segments.append((float(d["start"]), float(d["end"])))
+        except json.JSONDecodeError as e:
+            err(f"Error parsing JSONL from stdin: {e}")
+            return 1
+        if not segments:
+            err("Error: No segments read from stdin. Provide JSONL with 'start' and 'end' fields.")
+            return 1
+        total = sum(e - s for s, e in segments)
+        err(f"Read {len(segments)} segments from stdin ({total:.1f}s total)")
+
     if args.dry_run:
-        print(f"Would enroll '{args.id}' from {args.audio}")
+        print(f"Would enroll speaker: {sid}")
+        print(f"  Audio: {audio_path}")
+        print(f"  Backend: {backend_name}")
+        if segments:
+            total = sum(e - s for s, e in segments)
+            print(f"  Segments: {len(segments)} ({total:.1f}s total)")
+            for i, (s, e) in enumerate(segments[:5]):
+                print(f"    {i + 1}. {s:.2f}s - {e:.2f}s ({e - s:.2f}s)")
+            if len(segments) > 5:
+                print(f"    ... and {len(segments) - 5} more")
         return 0
+
     try:
         rec = engine.enroll(
             args.id,
             args.audio,
             backend_name=args.backend,
             segments=segments,
-            transcript=args.from_transcript,
-            speaker_label=args.speaker_label,
         )
     except (KeyError, ValueError, FileNotFoundError) as e:
         err(e.args[0] if e.args else str(e))
@@ -288,20 +372,46 @@ def cmd_update_embedding(args) -> int:
 
 
 def cmd_identify(args) -> int:
+    """Identify; error-path rc/messages mirror reference cmd_identify
+    (speaker_detection:1031-1133): missing audio / no speakers / no
+    backend embeddings each fail with rc 1 and a specific stderr line."""
+    from pathlib import Path
+
+    from .. import config as _config
     from ..pipeline import identify as engine
 
+    audio_path = Path(args.audio)
+    if not audio_path.exists():
+        err(f"Error: Audio file not found: {audio_path}")
+        return 1
+    backend_name = args.backend or _config.default_backend()
+    speakers = P.list_all_speakers()
     tags = [t.strip() for t in args.tags.split(",")] if args.tags else None
+    if tags:
+        speakers = P.filter_speakers_by_tags(speakers, tags, any_tag=False)
+    if not speakers:
+        err("No speakers to match against.")
+        return 1
+    candidates = [s for s in speakers if s.get("embeddings", {}).get(backend_name)]
+    if not candidates:
+        err(f"No speakers with {backend_name} embeddings.")
+        return 1
+    err(f"Identifying speaker in {audio_path.name} against {len(candidates)} candidates...")
     try:
         results = engine.identify(
             args.audio, backend_name=args.backend, threshold=args.threshold, tags=tags
         )
     except Exception as e:  # noqa: BLE001 — CLI boundary
-        err(f"identification failed: {e}")
+        err(f"Error during identification: {e}")
         return 1
+    if not results:
+        if args.format == "json":
+            print("[]")
+        else:
+            print("No matching speakers found.")
+        return 0
     if args.format == "json":
         emit_json(results)
-    elif not results:
-        print("No matching speakers found.")
     else:
         print("\nMatches:")
         for item in results:

@@ -70,10 +70,14 @@ def test_detection_export_formats(fake_env, tmp_path, capsys):
     cli_det.main(["-q", "add", "exp", "--name", "Exported"])
     assert cli_det.main(["export"]) == 0
     data = out_json(capsys)
-    assert isinstance(data, list) and data[0]["id"] == "exp"
+    # Reference contract (speaker_detection:675-691): wrapped object.
+    assert data["speakers"][0]["id"] == "exp"
+    assert data["speakers"][0]["name"] == "Exported"
+    assert data["context"] == "default"
+    assert "exported_at" in data
     assert cli_det.main(["export", "--format", "speechmatics"]) == 0
     sm = out_json(capsys)
-    assert isinstance(sm, (list, dict))
+    assert sm == {"speakers": [{"id": "exp", "name": "Exported"}]}
 
 
 def test_detection_delete_and_dry_run(fake_env, capsys):
