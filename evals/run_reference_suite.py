@@ -61,7 +61,20 @@ TOOL_SHIM = """#!{python}
 import sys
 sys.path.insert(0, {repo!r})
 from sdtk_tpu.cli.{module} import main
-sys.exit(main())
+{extra}
+if __name__ == "__main__":
+    sys.exit(main())
+"""
+
+# test_samples_and_trust.py exec()s the speaker_detection tool as a module
+# and calls these directly (:371-378) — export them at shim module level.
+DETECTION_EXTRA = """\
+from sdtk_tpu.store.profiles import compute_trust_level
+from sdtk_tpu.utils.hashing import compute_b3sum
+from sdtk_tpu.store.profiles import (
+    load_speaker, save_speaker, list_all_speakers, create_speaker_profile,
+    normalize_speaker_id, filter_speakers_by_tags, get_samples_by_source_audio,
+)
 """
 
 B3SUM_SHIM = """#!{python}
@@ -169,7 +182,11 @@ def stage(ref: Path, root: Path | None = None) -> Path:
         root = Path(tempfile.mkdtemp(prefix="sdtk_refsuite_"))
     python = sys.executable
     for tool, module in TOOL_MODULES.items():
-        _write_exec(root / tool, TOOL_SHIM.format(python=python, repo=str(REPO), module=module))
+        extra = DETECTION_EXTRA if tool == "speaker_detection" else ""
+        _write_exec(
+            root / tool,
+            TOOL_SHIM.format(python=python, repo=str(REPO), module=module, extra=extra),
+        )
     bindir = root / "bin"
     bindir.mkdir()
     _write_exec(bindir / "b3sum", B3SUM_SHIM.format(python=python, repo=str(REPO)))
@@ -186,7 +203,41 @@ def stage(ref: Path, root: Path | None = None) -> Path:
     testdir.mkdir(parents=True)
     for f in sorted((ref / "evals" / "speaker_detection").glob("test_*.py")):
         shutil.copy2(f, testdir / f.name)
+    _stage_audio_fixtures(ref, testdir)
     return root
+
+
+def _stage_audio_fixtures(ref: Path, testdir: Path) -> None:
+    """test_samples_and_trust.py needs evals/speaker_detection/audio/
+    test_001-two-speakers.wav, which the reference generates with espeak-ng
+    ('make all', Makefile:50-93 — not shipped, and espeak-ng is absent
+    here).  The matching Speechmatics transcript IS shipped; synthesize a
+    WAV of the right duration from it (content is irrelevant to the tests:
+    they exercise extraction/review/trust bookkeeping, not voices)."""
+    import wave
+
+    import numpy as np
+
+    audio_src = ref / "evals" / "speaker_detection" / "audio"
+    audio_dst = testdir / "audio"
+    audio_dst.mkdir(exist_ok=True)
+    for tj in sorted(audio_src.glob("*.json")):
+        shutil.copy2(tj, audio_dst / tj.name)
+        wav_name = tj.name.split(".speechmatics.json")[0].split(".assemblyai.json")[0]
+        if not wav_name.endswith(".wav"):
+            continue
+        data = json.loads(tj.read_text())
+        end = 0.0
+        for item in data.get("results", []):
+            end = max(end, float(item.get("end_time", 0.0)))
+        rate = 16000
+        t = np.arange(int((end + 0.5) * rate)) / rate
+        pcm = (0.3 * np.sin(2 * np.pi * 210.0 * t) * 32767).astype("<i2")
+        with wave.open(str(audio_dst / wav_name), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
 
 
 def main() -> int:

@@ -63,6 +63,34 @@ def add_quiet(parser: argparse.ArgumentParser) -> None:
     )
 
 
+def add_subcommand_flags(parser: argparse.ArgumentParser) -> None:
+    """Give every subcommand its own -q/-v so reference-style invocations
+    like ``speaker_detection check-validity -v`` parse (argparse does not
+    let top-level flags appear after the subcommand; the reference defines
+    them per-subparser)."""
+    for action in parser._actions:  # noqa: SLF001 — argparse introspection
+        if isinstance(action, argparse._SubParsersAction):  # noqa: SLF001
+            for sp in action.choices.values():
+                opts = {o for a in sp._actions for o in a.option_strings}  # noqa: SLF001
+                if "-q" not in opts and "--quiet" not in opts:
+                    sp.add_argument("-q", "--quiet", action="store_true",
+                                    help=argparse.SUPPRESS)
+                if "-v" not in opts and "--verbose" not in opts:
+                    sp.add_argument("-v", "--verbose", action="store_true",
+                                    help=argparse.SUPPRESS)
+
+
+def parse_cli(parser: argparse.ArgumentParser, argv: list[str] | None) -> argparse.Namespace:
+    """Standard CLI parse: per-subcommand -q/-v plus defaulted flags."""
+    add_subcommand_flags(parser)
+    args = parser.parse_args(argv)
+    if not hasattr(args, "quiet"):
+        args.quiet = False
+    if not hasattr(args, "verbose"):
+        args.verbose = False
+    return args
+
+
 def table(rows: list[list[str]], headers: list[str]) -> str:
     widths = [len(h) for h in headers]
     for row in rows:

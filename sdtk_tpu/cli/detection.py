@@ -315,21 +315,38 @@ def cmd_enroll(args) -> int:
 
 
 def cmd_embeddings(args) -> int:
+    """List embeddings; output format mirrors reference cmd_embeddings
+    (speaker_detection:922-965): per-backend blocks, '[trust] (NrNuNx)'
+    suffix with --show-trust."""
     profile = P.load_speaker(P.normalize_speaker_id(args.id))
     if not profile:
-        err(f"speaker '{args.id}' not found")
+        err(f"Error: Speaker '{args.id}' not found.")
         return 1
-    rows = []
-    for backend, recs in profile.get("embeddings", {}).items():
-        if args.backend and backend != args.backend:
-            continue
+    embeddings = profile.get("embeddings", {})
+    if args.backend:
+        embeddings = (
+            {args.backend: embeddings[args.backend]} if args.backend in embeddings else {}
+        )
+    if not embeddings:
+        print("No embeddings found.")
+        return 0
+    for backend, recs in embeddings.items():
+        print(f"\n{backend}:")
         for r in recs:
-            row = [r["id"], backend, r.get("model_version", "?"), r.get("created_at", "")[:19]]
+            created = (r.get("created_at") or "unknown")[:19]
+            source = r.get("source_audio") or "unknown"
+            if len(source) > 50:
+                source = "..." + source[-47:]
+            line = f"  {r['id']}  {created}  {source}"
             if args.show_trust:
-                row.append(r.get("trust_level", "unknown"))
-            rows.append(row)
-    headers = ["ID", "BACKEND", "MODEL", "CREATED"] + (["TRUST"] if args.show_trust else [])
-    print(table(rows, headers))
+                samples = r.get("samples", {}) or {}
+                line += (
+                    f"  [{r.get('trust_level', 'unknown')}]"
+                    f" ({len(samples.get('reviewed', []))}r"
+                    f"/{len(samples.get('unreviewed', []))}u"
+                    f"/{len(samples.get('rejected', []))}x)"
+                )
+            print(line)
     return 0
 
 
@@ -644,13 +661,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    parser = build_parser()
-    args = parser.parse_args(argv)
-    # subparsers inherit -q/-v presence from the top level parse
-    if not hasattr(args, "quiet"):
-        args.quiet = False
-    if not hasattr(args, "verbose"):
-        args.verbose = False
+    from .common import parse_cli
+
+    args = parse_cli(build_parser(), argv)
     return args.func(args)
 
 

@@ -252,7 +252,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    from .common import parse_cli
+
+    args = parse_cli(build_parser(), argv)
     return args.func(args)
 
 

@@ -22,31 +22,49 @@ def _resolve_extract_target(args) -> tuple[str | None, str | None]:
 
 
 def cmd_extract(args) -> int:
+    """Extract voice samples; flow and messages mirror reference
+    cmd_extract (speaker_samples:403-504): existence checks, 'Found N
+    segments' stderr line, per-sample verbose stdout lines with b3sum,
+    'Extracted N samples to <dir>' summary."""
+    from pathlib import Path
+
+    from ..transcripts import detect_transcript_format
+
     speaker_id, audio = _resolve_extract_target(args)
     if not speaker_id:
         err("speaker id required (positional or -s/--speaker-id)")
         return 1
-    data = load_transcript(args.transcript)
+    audio_path = Path(audio)
+    if not audio_path.exists():
+        err(f"Error: Audio file not found: {audio_path}")
+        return 1
+    transcript_path = Path(args.transcript)
+    if not transcript_path.exists():
+        err(f"Error: Transcript file not found: {transcript_path}")
+        return 1
+    data = load_transcript(transcript_path)
+    if detect_transcript_format(data) == "unknown":
+        err("Error: Unknown transcript format. Supports AssemblyAI and Speechmatics.")
+        return 1
+    available = get_available_speakers(data)
     label = args.speaker_label
     if not label:
-        speakers = get_available_speakers(data)
-        if len(speakers) != 1:
-            err(f"--speaker-label required (transcript has: {', '.join(speakers)})")
-            return 1
-        label = speakers[0]
+        err(f"Error: --speaker-label required. Available speakers: {', '.join(available)}")
+        return 1
+    if label not in available:
+        err(f"Warning: Speaker '{label}' not found. Available: {', '.join(available)}")
     segments = extract_segments_from_transcript(
         data, label, min_duration=args.min_duration, max_gap=args.max_gap
     )
     if not segments:
-        err(f"no segments for label '{label}'")
+        err(f"No segments found for speaker '{label}'")
         return 1
-    if args.format == "mp3":
-        # No MP3 encoder in-process (the reference shells out to ffmpeg,
-        # speaker_samples:280-326); samples are stored lossless instead.
-        info(args, "mp3 output not available (no encoder); writing wav")
+    total = sum(s["end"] - s["start"] for s in segments)
+    err(f"Found {len(segments)} segments for '{label}' ({total:.1f}s total)")
+
     if args.dry_run:
-        total = 0.0
         n = 0
+        total = 0.0
         for seg in segments:
             dur = seg["end"] - seg["start"]
             if args.max_segments and n >= args.max_segments:
@@ -55,10 +73,7 @@ def cmd_extract(args) -> int:
                 break
             total += dur
             n += 1
-            print(json.dumps({"speaker_id": speaker_id,
-                              "start": seg["start"], "end": seg["end"],
-                              "duration": round(dur, 3)}))
-        info(args, f"[dry-run] would extract {n} sample(s), {total:.1f}s total")
+            print(f"Would extract: sample ({seg['start']:.2f}-{seg['end']:.2f}s)")
         return 0
     written = S.extract_samples(
         speaker_id,
@@ -68,10 +83,17 @@ def cmd_extract(args) -> int:
         transcript_path=args.transcript,
         max_segments=args.max_segments,
         max_duration=args.max_duration,
+        output_format=args.format,
     )
-    info(args, f"Extracted {len(written)} sample(s) for '{speaker_id}'")
-    for meta in written:
-        print(meta["sample_id"])
+    if args.verbose:
+        for meta in written:
+            seg = meta["segment"]
+            print(
+                f"Extracted: {meta['sample_id']} "
+                f"({seg['start_sec']:.2f}-{seg['end_sec']:.2f}s) "
+                f"b3sum:{meta['b3sum'][:8]}"
+            )
+    print(f"Extracted {len(written)} samples to {S.speaker_samples_dir(speaker_id)}")
     return 0
 
 
@@ -213,25 +235,43 @@ def cmd_speakers(args) -> int:
 
 
 def cmd_review(args) -> int:
+    """Approve/reject; output mirrors reference cmd_review
+    (speaker_samples:843-921): single sample -> '<id>: <old> -> <new>',
+    multiple -> \"Updated N samples to '<status>'\"."""
     status = "reviewed" if args.approve else "rejected" if args.reject else None
     if not status:
-        err("one of --approve/--reject required")
+        err("Error: Specify --approve or --reject")
+        return 1
+    sample_id = args.sample_id or args.sample_id_pos
+    if not sample_id and not args.source_b3sum:
+        err("Error: Specify sample_id or --source-b3sum")
+        return 1
+    sdir = S.speaker_samples_dir(args.speaker_id)
+    if not sdir.exists():
+        err(f"Error: No samples found for speaker '{args.speaker_id}'")
         return 1
     updated = S.set_review_status(
         args.speaker_id,
-        sample_id=args.sample_id or args.sample_id_pos,
+        sample_id=sample_id,
         source_b3sum=args.source_b3sum,
         status=status,
         notes=args.notes,
     )
     if not updated:
-        err("no matching samples")
+        if sample_id:
+            err(f"Error: Sample '{sample_id}' not found")
+        else:
+            err(f"Error: No samples found from source b3sum '{args.source_b3sum}'")
         return 1
     # Review state feeds embedding trust (the feedback loop).
     from ..store.profiles import refresh_trust_levels
 
     refresh_trust_levels(args.speaker_id)
-    info(args, f"Marked {len(updated)} sample(s) {status}")
+    if len(updated) == 1 or args.verbose:
+        for meta in updated:
+            print(f"{meta['sample_id']}: {meta['previous_status']} -> {status}")
+    if len(updated) > 1 and not args.verbose:
+        print(f"Updated {len(updated)} samples to '{status}'")
     return 0
 
 
@@ -250,8 +290,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Target speaker ID for storage")
     p.add_argument("--transcript", "-t", required=True, help="Transcript JSON file")
     p.add_argument("--speaker-label", "-l", help="Speaker label in transcript")
-    p.add_argument("--format", choices=["mp3", "wav"], default="wav",
-                   help="Output format (mp3 falls back to wav: no encoder)")
+    p.add_argument("--format", choices=["mp3", "wav"], default="mp3",
+                   help="Output format (mp3 = first-party MPEG Layer I encoder)")
     p.add_argument("--max-segments", type=int, help="Maximum segments to extract")
     p.add_argument("--max-duration", type=float, help="Maximum total duration (sec)")
     p.add_argument("--min-duration", type=float, default=0.5,
@@ -325,7 +365,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    from .common import parse_cli
+
+    args = parse_cli(build_parser(), argv)
     return args.func(args)
 
 

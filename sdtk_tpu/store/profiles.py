@@ -196,7 +196,11 @@ def create_embedding_record(
         "source_segments": source_segments,
         "model_version": model_version,
         "samples": samples,
-        "trust_level": trust_level or compute_trust_level(samples),
+        # stored records keep the reference's enroll-time floor of "low"
+        # (speaker_detection:379: no samples -> low); "unknown" is only the
+        # pure-function answer for the empty case (acceptance contract).
+        "trust_level": trust_level
+        or compute_trust_level(samples).replace("unknown", "low"),
         "created_at": utc_now_iso(),
     }
     if all_identifiers is not None:
@@ -216,8 +220,13 @@ def add_embedding(profile: dict[str, Any], backend: str, record: dict[str, Any])
 
 
 def compute_trust_level(samples: dict[str, list[str]]) -> str:
-    """high: all reviewed; medium: mixed; low: none/unreviewed;
-    invalidated: any rejected."""
+    """high: all reviewed; medium: mixed; low: all unreviewed;
+    invalidated: any rejected; unknown: no samples at all.
+
+    (The reference *implementation* folds no-samples into "low"
+    (speaker_detection:359-379) but its own acceptance suite
+    test_samples_and_trust.py pins "unknown" for the empty case; the
+    tests are the contract.)"""
     reviewed = samples.get("reviewed", [])
     unreviewed = samples.get("unreviewed", [])
     rejected = samples.get("rejected", [])
@@ -227,7 +236,9 @@ def compute_trust_level(samples: dict[str, list[str]]) -> str:
         return "high"
     if reviewed:
         return "medium"
-    return "low"
+    if unreviewed:
+        return "low"
+    return "unknown"
 
 
 def check_embedding_validity(speaker_id: str, emb: dict[str, Any]) -> dict[str, Any]:

@@ -126,6 +126,7 @@ def extract_samples(
     max_segments: int | None = None,
     max_duration: float | None = None,
     sr: int = 16000,
+    output_format: str = "mp3",
 ) -> list[dict[str, Any]]:
     """Slice segments out of a recording into the sample store
     (reference cmd_extract :403-504 incl. --max-segments/--max-duration caps).
@@ -152,15 +153,20 @@ def extract_samples(
             break
         total += dur
         sample_id = get_next_sample_id(sdir)
-        wav_path = sdir / f"{sample_id}.wav"
+        out_path = sdir / f"{sample_id}.{output_format}"
         clip = audio_util.slice_segments(wav, sr, [(seg["start"], seg["end"])])
         if len(clip) == 0:
             clip = np.zeros(1, dtype=np.float32)
-        audio_util.save_wav(wav_path, clip, sr)
+        if output_format == "mp3":
+            # reference default: mp3 samples (speaker_samples:480); encoded
+            # by the first-party MPEG Layer I codec (utils/mpegaudio.py)
+            audio_util.save_mp3(out_path, clip, sr)
+        else:
+            audio_util.save_wav(out_path, clip, sr)
         meta = write_metadata(
             sdir / f"{sample_id}.meta.yaml",
             sample_id,
-            compute_b3sum(wav_path),
+            compute_b3sum(out_path),
             audio_path,
             audio_b3,
             Path(transcript_path) if transcript_path else None,
@@ -193,11 +199,16 @@ def set_review_status(
         if source_b3sum and meta.get("source", {}).get("audio_b3sum") != source_b3sum:
             continue
         meta.setdefault("review", {})
+        old_status = meta["review"].get("status", "pending")
         meta["review"]["status"] = status
         meta["review"]["reviewed_at"] = datetime.now(timezone.utc).isoformat()
         if notes is not None:
             meta["review"]["notes"] = notes
+        if meta.get("version", 1) < SAMPLE_METADATA_VERSION:
+            meta["version"] = SAMPLE_METADATA_VERSION
         save_yaml(meta_path, meta)
+        meta = dict(meta)
+        meta["previous_status"] = old_status  # not persisted; for CLI output
         updated.append(meta)
     return updated
 

@@ -101,13 +101,55 @@ def _decode_wav(path: str | Path) -> tuple[np.ndarray, int]:
     return x, sample_rate
 
 
+def _decode_flac(path: str | Path) -> tuple[np.ndarray, int]:
+    """First-party FLAC decode (utils/flacio.py) -> float32 [T, C] + rate."""
+    from .flacio import FlacError, decode
+
+    with open(path, "rb") as f:
+        data = f.read()
+    try:
+        pcm, sr, bits = decode(data)
+    except FlacError as e:
+        raise AudioFormatError(f"FLAC decode failed for {path}: {e}") from e
+    x = pcm.astype(np.float32) / float(1 << (bits - 1))
+    return x, sr
+
+
+def _decode_mpeg(path: str | Path) -> tuple[np.ndarray, int]:
+    """First-party MPEG Layer I decode (utils/mpegaudio.py).
+
+    Layer III files (real-world .mp3) raise AudioFormatError with the
+    codec's explicit unsupported-format message."""
+    from .mpegaudio import UnsupportedFormatError, decode
+
+    with open(path, "rb") as f:
+        data = f.read()
+    try:
+        pcm, sr = decode(data)
+    except UnsupportedFormatError as e:
+        raise AudioFormatError(f"{path}: {e}") from e
+    return pcm.astype(np.float32)[:, None], sr
+
+
+# extension -> decoder producing (float32 [T, C], sample_rate)
+_DECODERS = {
+    ".wav": _decode_wav,
+    ".flac": _decode_flac,
+    ".mp3": _decode_mpeg,
+    ".mp2": _decode_mpeg,
+    ".mpga": _decode_mpeg,
+}
+
+
 def probe(path: str | Path) -> AudioInfo:
     """Duration/format metadata (replaces ffprobe, speaker-catalog:120-137)."""
     path = Path(path)
-    if path.suffix.lower() == ".wav":
-        x, sr = _decode_wav(path)
-        return AudioInfo(sr, x.shape[1], x.shape[0], x.shape[0] / sr, "wav")
-    raise AudioFormatError(f"unsupported container: {path.suffix} ({path})")
+    ext = path.suffix.lower()
+    decoder = _DECODERS.get(ext)
+    if decoder is None:
+        raise AudioFormatError(f"unsupported container: {path.suffix} ({path})")
+    x, sr = decoder(path)
+    return AudioInfo(sr, x.shape[1], x.shape[0], x.shape[0] / sr, ext[1:])
 
 
 def _load_audio_native(path: Path, target_sr: int | None) -> tuple[np.ndarray, int] | None:
@@ -146,16 +188,19 @@ def load_audio(
     NumPy parser.
     """
     path = Path(path)
-    if path.suffix.lower() != ".wav":
+    ext = path.suffix.lower()
+    decoder = _DECODERS.get(ext)
+    if decoder is None:
         raise AudioFormatError(
-            f"unsupported container: {path.suffix} — transcode to WAV "
-            f"(no ffmpeg in this environment)"
+            f"unsupported container: {path.suffix} — supported: "
+            f"{', '.join(sorted(_DECODERS))} (first-party decoders; no ffmpeg "
+            f"in this environment)"
         )
-    if mono:
+    if mono and ext == ".wav":
         native = _load_audio_native(path, target_sr)
         if native is not None:
             return native
-    x, sr = _decode_wav(path)
+    x, sr = decoder(path)
     if mono:
         x = x.mean(axis=1)
     if target_sr and sr != target_sr:
@@ -243,3 +288,23 @@ def save_wav(path: str | Path, x: np.ndarray, sr: int = TARGET_SR) -> None:
     from .ioutil import atomic_write_bytes
 
     atomic_write_bytes(path, buf.getvalue())
+
+
+def save_mp3(path: str | Path, x: np.ndarray, sr: int = TARGET_SR,
+             bitrate_kbps: int = 128) -> None:
+    """Write float32 [-1,1] mono to an MPEG Layer I stream (``.mp3``) —
+    the in-process stand-in for the reference's ffmpeg mp3 sample encode
+    (speaker_samples:280-326).  See utils/mpegaudio.py for scope."""
+    from .ioutil import atomic_write_bytes
+    from .mpegaudio import encode_layer1
+
+    atomic_write_bytes(path, encode_layer1(np.asarray(x), sr, bitrate_kbps))
+
+
+def save_flac(path: str | Path, x: np.ndarray, sr: int = TARGET_SR) -> None:
+    """Write float32 [-1,1] (mono/stereo) losslessly as FLAC
+    (utils/flacio.py; 16-bit)."""
+    from .flacio import encode
+    from .ioutil import atomic_write_bytes
+
+    atomic_write_bytes(path, encode(np.asarray(x), sr, 16))

@@ -50,7 +50,8 @@ def test_trust_levels():
     assert f({"reviewed": ["h"], "unreviewed": [], "rejected": []}) == "high"
     assert f({"reviewed": ["h"], "unreviewed": ["u"], "rejected": []}) == "medium"
     assert f({"reviewed": [], "unreviewed": ["u"], "rejected": []}) == "low"
-    assert f({"reviewed": [], "unreviewed": [], "rejected": []}) == "low"
+    # empty -> unknown (reference acceptance test_samples_and_trust.py pin)
+    assert f({"reviewed": [], "unreviewed": [], "rejected": []}) == "unknown"
     assert f({"reviewed": ["h"], "unreviewed": [], "rejected": ["r"]}) == "invalidated"
 
 
