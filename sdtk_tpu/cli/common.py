@@ -15,7 +15,18 @@ def info(args: argparse.Namespace, msg: str) -> None:
 
 
 def err(msg: str) -> None:
-    print(f"Error: {msg}", file=sys.stderr)
+    """Error line to stderr with the reference's 'Error: ' prefix (not
+    doubled when the caller pasted a verbatim contract message)."""
+    if msg.startswith(("Error:", "Warning:")):
+        print(msg, file=sys.stderr)
+    else:
+        print(f"Error: {msg}", file=sys.stderr)
+
+
+def status(msg: str) -> None:
+    """Unconditional progress line to stderr (reference tools print these
+    regardless of -q, e.g. speaker_detection:835,1069)."""
+    print(msg, file=sys.stderr)
 
 
 def emit_json(obj: Any) -> None:

@@ -15,7 +15,8 @@ import sys
 from ..backends import get_backend, list_backends
 from ..store import profiles as P
 from ..store import schemas
-from .common import add_quiet, emit_json, err, info, parse_kv, parse_segments_arg, table
+from .common import (add_quiet, emit_json, err, info, parse_kv,
+                     parse_segments_arg, status, table)
 
 DEFAULT_THRESHOLD = 0.354
 
@@ -257,7 +258,7 @@ def cmd_enroll(args) -> int:
             err(f"Error: No segments found for speaker '{args.speaker_label}' in transcript.")
             return 1
         total = sum(e - s for s, e in segments)
-        err(
+        status(
             f"Found {len(segments)} segments for speaker "
             f"'{args.speaker_label}' ({total:.1f}s total)"
         )
@@ -278,7 +279,7 @@ def cmd_enroll(args) -> int:
             err("Error: No segments read from stdin. Provide JSONL with 'start' and 'end' fields.")
             return 1
         total = sum(e - s for s, e in segments)
-        err(f"Read {len(segments)} segments from stdin ({total:.1f}s total)")
+        status(f"Read {len(segments)} segments from stdin ({total:.1f}s total)")
 
     if args.dry_run:
         print(f"Would enroll speaker: {sid}")
@@ -413,7 +414,7 @@ def cmd_identify(args) -> int:
     if not candidates:
         err(f"No speakers with {backend_name} embeddings.")
         return 1
-    err(f"Identifying speaker in {audio_path.name} against {len(candidates)} candidates...")
+    status(f"Identifying speaker in {audio_path.name} against {len(candidates)} candidates...")
     try:
         results = engine.identify(
             args.audio, backend_name=args.backend, threshold=args.threshold, tags=tags

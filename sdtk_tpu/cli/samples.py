@@ -9,7 +9,7 @@ import json
 
 from ..store import samples as S
 from ..transcripts import extract_segments_from_transcript, get_available_speakers, load_transcript
-from .common import add_quiet, emit_json, err, info, table
+from .common import add_quiet, emit_json, err, info, status, table
 
 
 def _resolve_extract_target(args) -> tuple[str | None, str | None]:
@@ -52,7 +52,7 @@ def cmd_extract(args) -> int:
         err(f"Error: --speaker-label required. Available speakers: {', '.join(available)}")
         return 1
     if label not in available:
-        err(f"Warning: Speaker '{label}' not found. Available: {', '.join(available)}")
+        status(f"Warning: Speaker '{label}' not found. Available: {', '.join(available)}")
     segments = extract_segments_from_transcript(
         data, label, min_duration=args.min_duration, max_gap=args.max_gap
     )
@@ -60,7 +60,7 @@ def cmd_extract(args) -> int:
         err(f"No segments found for speaker '{label}'")
         return 1
     total = sum(s["end"] - s["start"] for s in segments)
-    err(f"Found {len(segments)} segments for '{label}' ({total:.1f}s total)")
+    status(f"Found {len(segments)} segments for '{label}' ({total:.1f}s total)")
 
     if args.dry_run:
         n = 0

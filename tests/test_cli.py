@@ -153,7 +153,8 @@ def test_samples_cli(tmp_path, capsys):
         {"speaker": "S1", "start": 2500, "end": 4500, "text": "two"},
     ]}))
     assert cli_samples.main([
-        "extract", "alice", str(wav), "--transcript", str(tr), "--max-segments", "2",
+        "extract", "alice", str(wav), "--transcript", str(tr),
+        "--max-segments", "2", "-l", "S1", "-v",
     ]) == 0
     out = capsys.readouterr().out
     assert "sample-001" in out

@@ -234,6 +234,7 @@ def test_samples_review_by_source_b3sum(extracted_sample, capsys):
     b3 = compute_b3sum(extracted_sample)
     assert cli_smp.main(["-q", "review", "spk", "--source-b3sum", b3,
                          "--reject", "--notes", "clipping"]) == 0
+    capsys.readouterr()  # drop the 'sample-001: pending -> rejected' line
     assert cli_smp.main(["list", "spk", "--format", "json"]) == 0
     meta = out_json(capsys)[0]
     assert meta["review"]["status"] == "rejected"
