@@ -164,6 +164,7 @@ def test_samples_cli(tmp_path, capsys):
     assert metas and metas[0]["speaker_id"] == "alice"
 
     assert cli_samples.main(["review", "alice", "--sample-id", "sample-001", "--approve"]) == 0
+    assert "pending -> reviewed" in capsys.readouterr().out
     assert cli_samples.main(["info", "alice", "sample-001", "--format", "json"]) == 0
     meta = json.loads(capsys.readouterr().out)
     assert meta["review"]["status"] == "reviewed"
