@@ -12,6 +12,20 @@ from .common import add_quiet, emit_json, err, info
 
 
 def cmd_assign(args) -> int:
+    """Assign; flow/messages mirror reference cmd_assign
+    (speaker-assign:499-649): existence checks, 'Found N speakers' line,
+    'Processing speaker' verbose lines, dry-run banner, 'Assignments
+    saved' summary, optional --output copy."""
+    from pathlib import Path
+
+    audio_path = Path(args.audio)
+    if not audio_path.exists():
+        err(f"Error: Audio file not found: {audio_path.resolve()}")
+        return 1
+    transcript_path = Path(args.transcript)
+    if not transcript_path.exists():
+        err(f"Error: Transcript file not found: {transcript_path.resolve()}")
+        return 1
     try:
         output = engine.assign(
             args.audio,
@@ -28,54 +42,96 @@ def cmd_assign(args) -> int:
                 args.cross_backends.split(",") if args.cross_backends else None
             ),
             save=not args.dry_run,
+            verbose=args.verbose,
+            quiet=args.quiet or args.format == "json",
         )
-    except FileNotFoundError as e:
-        err(e.args[0] if e.args else str(e))
-        return 1
-    except ValueError as e:
+    except (FileNotFoundError, ValueError) as e:
         err(e.args[0] if e.args else str(e))
         return 1
 
+    if args.output:
+        from ..utils.ioutil import save_yaml
+
+        save_yaml(Path(args.output), output)
+
     mappings = output["mappings"]
-    if args.format == "json":
-        emit_json(output)
-    else:
-        if args.dry_run:
-            print("=== DRY RUN - No changes saved ===")
-        assigned = sum(1 for m in mappings.values() if m.get("speaker_id"))
-        info(args, f"Assigned: {assigned}/{len(mappings)}")
+
+    def _rows() -> None:
         for label, m in mappings.items():
             speaker = m.get("speaker_id") or "(unassigned)"
-            print(f"  {label} -> {speaker} ({m.get('confidence', '?')}, score: {m.get('score', 0):.2f})")
-            for c in m.get("candidates", []):
-                pass
+            print(
+                f"  {label} -> {speaker} "
+                f"({m.get('confidence', '?')}, score: {m.get('score', 0):.2f})"
+            )
+            if m.get("candidates"):
+                cands = ", ".join(c["speaker_id"] for c in m["candidates"])
+                print(f"       candidates: {cands}")
+
+    if args.dry_run:
+        print("\n=== DRY RUN - No changes saved ===")
+        if args.format == "json":
+            emit_json(output)
+        else:
+            print(f"\nAssignments for: {audio_path.name}")
+            print("-" * 50)
+            _rows()
+        return 0
+
+    if args.format == "json":
+        emit_json(output)
+    elif not args.quiet:
+        print(f"\nAssignments saved: {output['recording_b3sum']}.yaml")
+        print("-" * 50)
+        assigned = sum(1 for m in mappings.values() if m.get("speaker_id"))
+        print(f"Assigned: {assigned}/{len(mappings)}")
+        _rows()
     return 0
 
 
 def cmd_show(args) -> int:
+    """Show assignments; output mirrors reference cmd_show
+    (speaker-assign:652-700)."""
     b3 = catalog_store.resolve_b3sum(args.audio)
     data = assignment_store.load_assignments(b3) if b3 else None
     if not data:
-        err(f"no assignments for: {args.audio}")
+        err("Error: No assignments found for this recording")
         return 1
-    fmt = getattr(args, "format", "json")
+    fmt = getattr(args, "format", "text")
     if fmt == "yaml":
         import yaml
 
         print(yaml.safe_dump(data, sort_keys=False), end="")
-    elif fmt == "text":
-        # Human-readable (reference speaker-assign:652-700 shape)
-        print(f"Assignments for {data.get('recording_b3sum', b3)}:")
-        for label, m in sorted(data.get("mappings", {}).items()):
-            sid = m.get("speaker_id") or "(unassigned)"
-            conf = m.get("confidence", "?")
-            score = m.get("score")
-            line = f"  {label} -> {sid}  [{conf}"
-            if score is not None:
-                line += f", score {score:.3f}"
-            print(line + "]")
-    else:
+    elif fmt == "json":
         emit_json(data)
+    else:
+        print(f"Assignments for: {b3[:8]}...")
+        print(f"Context: {data.get('context') or '-'}")
+        print(f"Method: {data.get('method', '-')}")
+        print(f"Assigned at: {data.get('assigned_at', '-')}")
+        print(f"Threshold: {data.get('threshold', '-')}")
+        print(f"Min trust: {data.get('min_trust', '-')}")
+        print()
+        mappings = data.get("mappings", {})
+        if not mappings:
+            print("No mappings found")
+            return 0
+        print("Mappings:")
+        for label, m in mappings.items():
+            sid = m.get("speaker_id") or "(unassigned)"
+            print(f"  {label} -> {sid}")
+            print(
+                f"       confidence: {m.get('confidence', '?')}, "
+                f"score: {m.get('score', 0):.3f}"
+            )
+            if m.get("signals"):
+                print(f"       signals: {len(m['signals'])}")
+                for sig in m["signals"][:3]:
+                    print(f"         - {sig.get('type', '?')}: {sig.get('score', 0):.2f}")
+            if m.get("candidates"):
+                cands = ", ".join(
+                    f"{c['speaker_id']}({c['score']:.2f})" for c in m["candidates"]
+                )
+                print(f"       candidates: {cands}")
     return 0
 
 
@@ -103,19 +159,24 @@ def cmd_apply(args) -> int:
 
 
 def cmd_clear(args) -> int:
-    b3 = catalog_store.resolve_b3sum(args.audio)
-    if b3 and assignment_store.load_assignments(b3) and not args.force:
-        import sys as _sys
+    """Clear assignments; graceful no-op when none exist
+    (reference cmd_clear speaker-assign:703-728: rc 0 + stderr notice)."""
+    import sys as _sys
 
+    b3 = catalog_store.resolve_b3sum(args.audio)
+    if not b3 or not assignment_store.load_assignments(b3):
+        print("No assignments found for this recording", file=_sys.stderr)
+        return 0
+    if not args.force:
         if _sys.stdin.isatty():
-            reply = input("Clear assignments? [y/N] ")
-            if reply.strip().lower() not in ("y", "yes"):
-                info(args, "Aborted")
-                return 1
-    if not b3 or not assignment_store.clear_assignments(b3):
-        err(f"no assignments for: {args.audio}")
-        return 1
-    info(args, f"Cleared assignments for {b3}")
+            print(f"Clear assignments for: {b3[:8]}...?")
+            reply = input("Confirm [y/N]: ")
+            if reply.strip().lower() != "y":
+                print("Cancelled")
+                return 0
+    assignment_store.clear_assignments(b3)
+    if not args.quiet:
+        print(f"Cleared assignments: {b3[:8]}...")
     return 0
 
 

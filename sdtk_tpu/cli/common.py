@@ -83,11 +83,15 @@ def add_subcommand_flags(parser: argparse.ArgumentParser) -> None:
         if isinstance(action, argparse._SubParsersAction):  # noqa: SLF001
             for sp in action.choices.values():
                 opts = {o for a in sp._actions for o in a.option_strings}  # noqa: SLF001
+                # SUPPRESS default: an absent per-subcommand flag must not
+                # clobber a top-level `-v`/`-q` given before the subcommand
                 if "-q" not in opts and "--quiet" not in opts:
                     sp.add_argument("-q", "--quiet", action="store_true",
+                                    default=argparse.SUPPRESS,
                                     help=argparse.SUPPRESS)
                 if "-v" not in opts and "--verbose" not in opts:
                     sp.add_argument("-v", "--verbose", action="store_true",
+                                    default=argparse.SUPPRESS,
                                     help=argparse.SUPPRESS)
 
 

@@ -251,16 +251,21 @@ def assign(
     backend: str | None = None,
     cross_backends: list[str] | None = None,
     save: bool = True,
+    verbose: bool = False,
+    quiet: bool = False,
 ) -> dict[str, Any]:
     """Full assignment flow (reference cmd_assign :499-649): parse labels,
     pull context from the catalog, fuse signals per label, write
-    assignments/{b3sum}.yaml."""
+    assignments/{b3sum}.yaml.  verbose/quiet reproduce the reference's
+    stdout progress lines (:524,:549)."""
     audio_path = Path(audio_path).resolve()
     transcript_path = Path(transcript_path).resolve()
     transcript_data = load_transcript(transcript_path)
     labels = get_available_speakers(transcript_data)
     if not labels:
-        raise ValueError("no speakers found in transcript")
+        raise ValueError("No speakers found in transcript")
+    if not quiet:
+        print(f"Found {len(labels)} speakers: {', '.join(labels)}")
 
     b3sum = compute_b3sum(audio_path)
     entry = catalog_store.load_entry(b3sum)
@@ -276,6 +281,8 @@ def assign(
     mappings: dict[str, Any] = {}
     for label in labels:
         segments = get_speaker_segments(transcript_data, label)
+        if verbose:
+            print(f"\nProcessing speaker {label} ({len(segments)} segments)...")
         signals: list[Signal] = []
         if use_embeddings:
             emb_signals = collect_embedding_signals(

@@ -72,7 +72,10 @@ def get_available_speakers(data: dict[str, Any]) -> list[str]:
                 speakers.add(utt["speaker"])
     elif fmt == "speechmatics":
         for item in data.get("results", []):
-            if item.get("type") != "word":
+            # items without a "type" field count as words (the reference's
+            # own speaker-assign:187-194 applies no type filter; its test
+            # mocks omit "type")
+            if item.get("type", "word") != "word":
                 continue
             if "speaker" in item:
                 speakers.add(item["speaker"])
@@ -108,7 +111,7 @@ def _runlength_segments(
     cur_text: list[str] = []
     prev_speaker: str | None = None
     for item in data.get("results", []):
-        if item.get("type") != "word":
+        if item.get("type", "word") != "word":
             continue
         speaker = _word_speaker(item) or UNKNOWN_LABEL
         start = item.get("start_time", 0)
