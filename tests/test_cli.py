@@ -207,10 +207,10 @@ def test_assign_and_report_cli(tmp_path, capsys):
     assert cli_assign.main(["show", str(conv)]) == 0
     capsys.readouterr()
     assert cli_report.main(["status"]) == 0
-    assert "Recordings: 1" in capsys.readouterr().out
+    assert "Recordings:     1 total" in capsys.readouterr().out
     assert cli_report.main(["status", "--format", "json"]) == 0
     stats = json.loads(capsys.readouterr().out)
-    assert stats["total_speakers"] == 2
+    assert stats["speakers"]["total"] == 2
     assert cli_assign.main(["clear", str(conv)]) == 0
 
 

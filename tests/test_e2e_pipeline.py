@@ -143,8 +143,8 @@ def test_report_status_and_coverage(world):
         "--backend", "assemblyai")
     r = run(env, "report", "status", "--format", "json")
     st = json.loads(r.stdout)
-    assert st["total_recordings"] == 1
-    assert st["total_speakers"] == 1
+    assert st["recordings"]["total"] == 1
+    assert st["speakers"]["total"] == 1
     r = run(env, "report", "coverage", "--format", "json")
     json.loads(r.stdout)  # machine-consumable
 
