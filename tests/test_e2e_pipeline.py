@@ -176,16 +176,15 @@ def test_process_queue_lifecycle(world):
     audio_dir.mkdir()
     make_wav(audio_dir / "a.wav", seconds=2.0, freq=260, seed=21)
     make_wav(audio_dir / "b.wav", seconds=2.0, freq=420, seed=22)
-    run(env, "process", "queue", "--add",
-        str(audio_dir / "a.wav"), str(audio_dir / "b.wav"))
+    run(env, "process", "queue", str(audio_dir))
     r = run(env, "process", "status", "--format", "json")
-    st = json.loads(r.stdout)
+    st = json.loads(r.stdout)["stats"]
     assert st["pending"] == 2
     run(env, "process", "run", "--parallel", "2")
     r = run(env, "process", "status", "--format", "json")
-    st = json.loads(r.stdout)
+    st = json.loads(r.stdout)["stats"]
     assert st["pending"] == 0 and st["completed"] == 2
-    run(env, "process", "clear-queue")
+    run(env, "process", "clear-queue", "--force")
 
 
 def test_contexts_registry(world):

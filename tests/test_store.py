@@ -188,18 +188,25 @@ def test_catalog_flow(speakers_dir, tmp_path):
 
 
 def test_queue(speakers_dir, tmp_path):
+    a = tmp_path / "a.wav"; a.write_bytes(b"RIFFaaaa")
+    b = tmp_path / "b.wav"; b.write_bytes(b"RIFFbbbb")
     q = queue.ProcessingQueue(tmp_path / "q.yaml")
-    q.add("/tmp/a.wav")
-    q.add("/tmp/b.wav")
+    assert q.add(tmp_path / "missing.wav") is None  # reference :273-274
+    q.add(a)
+    q.add(b)
     item = q.next_pending()
     assert item["status"] == "processing"
-    q.mark(item["path"], "failed", error="boom")
+    q.mark(item["audio_path"], "failed", error="boom")
     assert q.counts()["failed"] == 1
     # re-add resets failed -> pending
-    q.add(item["path"])
+    q.add(item["audio_path"])
     assert q.counts()["failed"] == 0 and q.counts()["pending"] == 2
+    # duplicate add updates context (reference :275-280)
+    q.add(a, context="ctx2")
+    assert any(i.get("context") == "ctx2" for i in q.items())
     # persistence: processing items revert to pending on reload
     item = q.next_pending()
     q2 = queue.ProcessingQueue(tmp_path / "q.yaml")
     assert q2.counts()["processing"] == 0
     assert q2.counts()["pending"] == 2
+    assert q2.get_stats()["total"] == 2
