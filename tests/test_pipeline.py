@@ -176,17 +176,19 @@ def test_report_stats_and_recommendations(speakers_dir, tmp_path, monkeypatch):
     wav = voice_wav(tmp_path / "r.wav", 300, seed=3)
     catalog.add_recording(wav)
     profiles.save_speaker(profiles.create_speaker_profile("zed", "Zed"))
-    stats = R.compute_system_stats()
+    entries = R.load_catalog_rows()
+    profs = R.load_profile_rows()
+    assigns = R.load_assignment_rows()
+    stats = R.compute_system_stats(entries, profs, assigns)
     assert stats.total_recordings == 1
-    assert stats.status_counts.get("unprocessed") == 1
+    assert stats.pending == 1
     assert stats.total_speakers == 1
-    assert stats.speakers_needing_samples[0]["speaker_id"] == "zed"
-    recs = R.generate_recommendations(stats)
-    assert any("unprocessed" in r for r in recs)
-    # formatters don't crash and mention the data
-    assert "Recordings: 1" in R.format_status(stats)
-    assert "Coverage" in R.format_coverage(stats)
-    assert "zed" in R.format_speakers(stats)
+    assert stats.speakers_needing_samples == ["zed"]
+    assert any("pending" in r for r in stats.recommendations)
+    # formatters don't crash and mention the data (reference contract)
+    assert "Recordings:     1 total" in R.format_status_report(stats, "text")
+    assert "Coverage by Context" in R.format_coverage_report(entries, None, "text")
+    assert "zed" in R.format_speakers_report(profs, "text")
 
 
 # ---------------------------------------------------------------------------
@@ -199,10 +201,11 @@ def test_process_single_and_batch(speakers_dir, tmp_path, monkeypatch):
     wav = voice_wav(tmp_path / "meeting.wav", 220, seconds=5, seed=4)
     ID.enroll("alice", wav, create_missing=True, name="Alice")
 
-    res = PR.process_single(wav, embed_backend="fake")
-    assert res["b3sum"]
-    assert res["assignments"]  # diarize produced >=1 label
-    entry = catalog.load_entry(res["b3sum"])
+    res = PR.process_single(wav, backends=["tpu-diarize"], embed_backend="fake",
+                            quiet=True)
+    assert res.success and res.b3sum
+    assert "speaker_assign" in res.steps_completed
+    entry = catalog.load_entry(res.b3sum)
     assert entry["transcriptions"][0]["backend"] == "tpu-diarize"
     assert catalog.compute_status(entry) == "assigned"
 
@@ -210,8 +213,11 @@ def test_process_single_and_batch(speakers_dir, tmp_path, monkeypatch):
     from sdtk_tpu.store.queue import ProcessingQueue
 
     q = ProcessingQueue(tmp_path / "q.yaml")
-    out = PR.process_batch([wav], queue=q, parallel=2, embed_backend="fake")
-    assert out["completed"] == 1 and out["failed"] == 0
+    items = [q.add(wav, backends=["tpu-diarize"])]
+    out = PR.process_batch(items, queue=q, parallel=2, embed_backend="fake",
+                           quiet=True)
+    assert len(out) == 1 and out[0].success
+    assert q.counts()["completed"] == 1
     assert q.counts()["completed"] == 1
 
 
@@ -220,8 +226,9 @@ def test_find_audio_files(tmp_path):
     (tmp_path / "sub").mkdir()
     (tmp_path / "sub" / "y.mp3").write_bytes(b"")
     (tmp_path / "z.txt").write_bytes(b"")
-    assert len(PR.find_audio_files(tmp_path)) == 2
-    assert len(PR.find_audio_files(tmp_path, recursive=False)) == 1
+    # non-recursive by default (reference speaker-process -r flag)
+    assert len(PR.find_audio_files(tmp_path)) == 1
+    assert len(PR.find_audio_files(tmp_path, recursive=True)) == 2
 
 
 # ---------------------------------------------------------------------------
@@ -302,16 +309,17 @@ def test_report_stale_and_confidence_buckets(speakers_dir, tmp_path, monkeypatch
         method="multi-signal",
     )
 
-    stats = R.compute_system_stats()
-    assert len(stats.stale_recordings) == 1
-    assert stats.stale_recordings[0]["b3sum"] == b3
-    assert stats.assigned_labels == 1 and stats.unassigned_labels == 1
-    assert any(lc["label"] == "B" for lc in stats.low_confidence)
-    assert stats.contexts["standup"]["recordings"] == 1
-
-    recs = R.generate_recommendations(stats)
-    assert any("stale" in r for r in recs)
-    assert any("unassigned" in r for r in recs)
+    entries = R.load_catalog_rows()
+    assigns = R.load_assignment_rows()
+    stats = R.compute_system_stats(entries, [], assigns)
+    assert stats.stale_recordings == 1
+    assert stats.low_confidence_count == 1  # the unassigned B label
+    assert stats.contexts["standup"]["total"] == 1
+    assert any("not been updated recently" in r for r in stats.recommendations)
+    stale_text = R.format_stale_report(entries, 30, "text")
+    assert "Found 1 recording(s):" in stale_text
+    conf_text = R.format_confidence_report(entries, assigns, 70, "text")
+    assert "B -> (unassigned)" in conf_text
 
 
 def test_report_cli_all_subcommands(speakers_dir, tmp_path, monkeypatch, capsys):
@@ -350,7 +358,7 @@ def test_process_external_stt_seam(speakers_dir, tmp_path, monkeypatch):
     tool.write_text(
         f"#!{_sys.executable}\n"
         "import json, sys\n"
-        "audio = sys.argv[1]; out = sys.argv[sys.argv.index('--output')+1]\n"
+        "audio = sys.argv[1]; out = sys.argv[sys.argv.index('-o')+1]\n"
         "doc = {'results': [{'type': 'word', 'start_time': 0.0,"
         " 'end_time': 1.0, 'speaker': 'S1',"
         " 'alternatives': [{'content': 'hello', 'speaker': 'S1'}]}]}\n"
@@ -361,18 +369,17 @@ def test_process_external_stt_seam(speakers_dir, tmp_path, monkeypatch):
 
     assert PR.find_tool("stt_speechmatics.py") == str(tool)
     wav = make_wav(tmp_path / "ext.wav", seconds=2.0, freq=290, seed=31)
-    result = PR.process_single(wav, stt_backends=["speechmatics"],
-                               log=lambda m: None)
+    result = PR.process_single(wav, backends=["speechmatics"], quiet=True)
     tr = PR.transcript_path_for(wav.resolve(), "speechmatics")
-    assert str(tr) in result["transcripts"] and tr.exists()
-    entry = catalog.load_entry(result["b3sum"])
+    assert result.transcripts["speechmatics"] == str(tr) and tr.exists()
+    entry = catalog.load_entry(result.b3sum)
     assert entry["transcriptions"][0]["backend"] == "speechmatics"
-    assert "S1" in result["assignments"]
-    # external tool missing → RuntimeError (queue marks the item failed)
-    with pytest.raises(RuntimeError):
-        PR.process_single(
-            make_wav(tmp_path / "none.wav", seconds=1.0, freq=310, seed=32),
-            stt_backends=["deepgram"], log=lambda m: None)
+    assert "transcribe_speechmatics" in result.steps_completed
+    # external tool missing → falls back to the on-device transcriber
+    res2 = PR.process_single(
+        make_wav(tmp_path / "none.wav", seconds=1.0, freq=310, seed=32),
+        backends=["deepgram"], embed_backend="fake", quiet=True)
+    assert res2.success and "deepgram" in res2.transcripts
 
 
 def test_cross_backend_agreement_signal(speakers_dir, tmp_path, monkeypatch):
