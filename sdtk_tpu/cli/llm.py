@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import argparse
+import json
 
 from ..pipeline import llm as L
 from .common import add_quiet, emit_json, err, info
@@ -19,7 +20,13 @@ def cmd_analyze(args) -> int:
             use_cache=not args.no_cache,
         )
     except FileNotFoundError:
-        err(f"transcript not found: {args.transcript}")
+        err(f"Error: Transcript not found: {args.transcript}")
+        return 1
+    except json.JSONDecodeError as e:
+        err(f"Error: Invalid JSON in transcript file: {e}")
+        return 1
+    except (L.ProviderUnavailableError, ValueError) as e:
+        err(f"Error: {e}")
         return 1
     if args.format == "text":
         # Human-readable form (reference speaker-llm:620-650)
@@ -51,7 +58,13 @@ def cmd_detect_names(args) -> int:
             use_cache=not args.no_cache,
         )
     except FileNotFoundError:
-        err(f"transcript not found: {args.transcript}")
+        err(f"Error: Transcript not found: {args.transcript}")
+        return 1
+    except json.JSONDecodeError as e:
+        err(f"Error: Invalid JSON in transcript file: {e}")
+        return 1
+    except (L.ProviderUnavailableError, ValueError) as e:
+        err(f"Error: {e}")
         return 1
     if args.format == "text":
         if names:
@@ -73,7 +86,10 @@ def cmd_providers(args) -> int:
 
 def cmd_clear_cache(args) -> int:
     n = L.clear_cache()
-    info(args, f"Removed {n} cached response(s)")
+    if n == 0:
+        print("Cache is empty")
+    else:
+        print(f"Cleared {n} cached file(s)")
     return 0
 
 

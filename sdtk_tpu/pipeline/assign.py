@@ -165,9 +165,17 @@ def collect_llm_signals(
     """LLM name-detection signal (reference :356-400); tolerates the LLM
     layer being unavailable."""
     try:
-        from .llm import analyze_transcript
+        from .llm import ProviderUnavailableError, analyze_transcript
 
-        analysis = analyze_transcript(transcript_path, context=context_name)
+        try:
+            analysis = analyze_transcript(transcript_path, context=context_name)
+        except ProviderUnavailableError:
+            # no cloud/local LLM configured → offline regex provider, so
+            # the signal still fires air-gapped (capability beyond the
+            # reference, which just drops the signal)
+            analysis = analyze_transcript(
+                transcript_path, provider="pattern", context=context_name
+            )
     except Exception:
         return []
     signals = []

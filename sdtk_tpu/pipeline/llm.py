@@ -26,7 +26,7 @@ from ..transcripts import detect_transcript_format, get_available_speakers, load
 from ..utils.ioutil import atomic_write_text
 
 DEFAULT_MODELS = {
-    "anthropic": "claude-3-5-haiku-latest",
+    "anthropic": "claude-3-haiku-20240307",
     "openai": "gpt-4o-mini",
     "ollama": "llama3.2",
     "pattern": "regex-v1",
@@ -338,17 +338,34 @@ PROVIDERS: dict[str, Provider] = {
 }
 
 
+class ProviderUnavailableError(RuntimeError):
+    pass
+
+
 def select_provider(name: str | None = None) -> Provider:
-    """Explicit name, else priority anthropic → openai → ollama → pattern
-    (reference :312-324 plus the offline fallback)."""
+    """Explicit name (must be available, reference :312-324), else priority
+    anthropic → openai → ollama.  The offline ``pattern`` provider is only
+    used when explicitly requested — auto-selection with no configured
+    provider errors like the reference does."""
     if name:
         if name not in PROVIDERS:
             raise ValueError(f"unknown provider '{name}'")
-        return PROVIDERS[name]
-    for candidate in ("anthropic", "openai", "ollama", "pattern"):
+        prov = PROVIDERS[name]
+        if not prov.available():
+            env = ENV_VARS.get(name)
+            hint = f" (set {env})" if env else ""
+            raise ProviderUnavailableError(
+                f"Provider '{name}' not available{hint}"
+            )
+        return prov
+    for candidate in ("anthropic", "openai", "ollama"):
         if PROVIDERS[candidate].available():
             return PROVIDERS[candidate]
-    return PROVIDERS["pattern"]
+    raise ProviderUnavailableError(
+        "No LLM provider available. Set ANTHROPIC_API_KEY or OPENAI_API_KEY, "
+        "run an Ollama server, or pass --provider pattern for the offline "
+        "regex provider."
+    )
 
 
 def list_providers() -> list[dict[str, Any]]:
@@ -424,7 +441,7 @@ def analyze_transcript(
     result.setdefault("detections", [])
     result["provider"] = prov.name
     result["model"] = model or DEFAULT_MODELS.get(prov.name)
-    result["analyzed_at"] = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    result["processed_at"] = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
     result["cached"] = False
     if use_cache:
         atomic_write_text(cpath, json.dumps(result, indent=2))

@@ -98,13 +98,19 @@ def test_pattern_provider_detection(speakers_dir, monkeypatch, tmp_path):
     monkeypatch.delenv("ANTHROPIC_API_KEY", raising=False)
     monkeypatch.delenv("OPENAI_API_KEY", raising=False)
     monkeypatch.setenv("OLLAMA_HOST", "http://127.0.0.1:1")  # unreachable
-    res = L.analyze_transcript(CONV)
+    # auto-select with nothing configured errors (reference contract) …
+    import pytest as _pytest
+
+    with _pytest.raises(L.ProviderUnavailableError):
+        L.analyze_transcript(CONV)
+    # … the offline pattern provider is an explicit opt-in
+    res = L.analyze_transcript(CONV, provider="pattern")
     assert res["provider"] == "pattern"
     names = {d["speaker_label"]: d["detected_name"] for d in res["detections"]}
     assert names["S1"] == "Alice"
     assert names["S3"] == "Bob"
     # cache hit second time
-    res2 = L.analyze_transcript(CONV)
+    res2 = L.analyze_transcript(CONV, provider="pattern")
     assert res2["cached"] is True
     assert L.clear_cache() >= 1
 
