@@ -29,10 +29,16 @@ def cmd_add(args) -> int:
         err(f"recording already in catalog (b3sum: {e}); use --force to update")
         return 1
     rec = entry["recording"]
-    info(args, f"Added: {rec['path']}")
-    info(args, f"  b3sum: {rec['b3sum']}")
-    if rec.get("duration_sec"):
-        info(args, f"  duration: {rec['duration_sec']:.1f}s")
+    if not args.quiet:
+        # stdout confirmation block (reference speaker-catalog:287-294)
+        from pathlib import Path as _P
+
+        print(f"Added: {_P(rec['path']).name}")
+        print(f"  b3sum: {rec['b3sum']}")
+        if rec.get("duration_sec"):
+            print(f"  duration: {rec['duration_sec']:.1f}s")
+        if args.context:
+            print(f"  context: {args.context}")
     return 0
 
 
@@ -52,31 +58,45 @@ def cmd_list(args) -> int:
         entries = entries[args.offset:]
     if args.limit:
         entries = entries[: args.limit]
+    # flat row shape (reference cmd_list :320-328): b3sum, path, status,
+    # context (name string), transcriptions (count), duration_sec
+    rows = [
+        {
+            "b3sum": e["recording"]["b3sum"],
+            "path": e["recording"].get("path", ""),
+            "status": C.compute_status(e),
+            "context": e.get("context", {}).get("name"),
+            "transcriptions": len(e.get("transcriptions", [])),
+            "duration_sec": e["recording"].get("duration_sec"),
+        }
+        for e in entries
+    ]
     if args.format == "json":
-        for e in entries:
-            e["status"] = C.compute_status(e)
-        emit_json(entries)
+        emit_json(rows)
     elif args.format == "ids":
-        for e in entries:
-            print(e["recording"]["b3sum"])
+        for r in rows:
+            print(r["b3sum"])
     elif args.format == "paths":
-        for e in entries:
-            print(e["recording"]["path"])
+        for r in rows:
+            print(r["path"])
     else:
-        rows = []
-        for e in entries:
-            rec = e["recording"]
-            dur = rec.get("duration_sec")
-            rows.append(
-                [
-                    rec["b3sum"][:8],
-                    C.compute_status(e),
-                    f"{dur:.0f}s" if dur else "?",
-                    e.get("context", {}).get("name") or "-",
-                    rec["path"],
-                ]
-            )
-        print(table(rows, ["B3SUM", "STATUS", "DUR", "CONTEXT", "PATH"]))
+        if not rows:
+            print("No recordings in catalog")
+            return 0
+        from pathlib import Path as _P
+
+        out = [
+            [
+                r["b3sum"][:8],
+                r["status"],
+                r["context"] or "-",
+                str(r["transcriptions"]),
+                _P(r["path"]).name if r["path"] else "-",
+            ]
+            for r in rows
+        ]
+        print(table(out, ["B3SUM", "Status", "Context", "Trans", "Path"]))
+        print(f"\nTotal: {len(rows)} recording(s)")
     return 0
 
 
@@ -153,7 +173,13 @@ def cmd_register_transcript(args) -> int:
         err(f"{e}; use --force to replace")
         return 1
     t = entry["transcriptions"][-1]
-    info(args, f"Registered {args.backend} transcript ({t['speaker_count']} speakers)")
+    if not args.quiet:
+        # stdout confirmation (reference cmd_register_transcript :536-546)
+        from pathlib import Path as _P
+
+        print(f"Registered transcript: {_P(str(transcript)).name}")
+        print(f"  Backend: {args.backend}")
+        print(f"  Speakers detected: {t['speaker_count']}")
     return 0
 
 
@@ -172,20 +198,46 @@ def cmd_set_context(args) -> int:
         err("nothing to set (need a context, --expected-speakers, or tags)")
         return 1
     C.set_context(b3, context, expected, add_tags=add_tags, remove_tags=remove_tags)
-    info(args, f"Context updated" + (f": '{context}'" if context else ""))
+    if not args.quiet:
+        # stdout confirmation (reference cmd_set_context :592-597)
+        from pathlib import Path as _P
+
+        entry = C.load_entry(b3)
+        name = _P(entry["recording"].get("path", b3)).name if entry else b3
+        print(f"Updated context for: {name}")
+        if context:
+            print(f"  Context: {context}")
+        if args.expected_speakers:
+            print(f"  Expected speakers: {args.expected_speakers}")
     return 0
 
 
 def cmd_remove(args) -> int:
+    """Remove; confirmation prompt + messages mirror reference cmd_remove
+    (speaker-catalog:601-652)."""
+    import sys as _sys
+    from pathlib import Path as _P
+
     b3 = _resolve(args.audio)
-    if not b3 or not C.load_entry(b3):
-        err(f"not in catalog: {args.audio}")
+    entry = C.load_entry(b3) if b3 else None
+    if not entry:
+        err(f"Error: Recording not in catalog: {args.audio}")
         return 1
-    if not args.force:
-        err("refusing to remove without --force")
-        return 1
+    if not args.force and _sys.stdin.isatty():
+        rec_path = entry.get("recording", {}).get("path", "")
+        print(f"Remove from catalog: {_P(rec_path).name}?")
+        print(f"  B3SUM: {b3}")
+        if input("Confirm [y/N]: ").lower() != "y":
+            print("Cancelled")
+            return 0
+    from ..store import assignments as assignment_store
+
+    had_assignments = assignment_store.load_assignments(b3) is not None
     C.remove_recording(b3)
-    info(args, f"Removed {b3}")
+    if not args.quiet:
+        if had_assignments:
+            print("Also removed associated assignments")
+        print(f"Removed: {b3}")
     return 0
 
 

@@ -15,6 +15,12 @@ enough for the reference's documented query patterns:
     length                  array/object/string length
     keys                    sorted object keys
     {out: .path, ...}       object construction
+    .[0] / .a[2]            array indexing
+    group_by(.path)         sort + group an array by key
+    map(EXPR)               apply EXPR per element, collect array
+
+Anything outside this grammar raises JqError with a pointer here —
+unsupported syntax fails loudly, never silently returns wrong data.
 
 Multiple outputs stream like jq: iteration produces one result per element.
 """
@@ -34,16 +40,24 @@ _MISSING = object()
 
 
 def _get_path(value: Any, path: str) -> Any:
-    """Evaluate '.a.b' against a value; returns _MISSING when absent."""
+    """Evaluate '.a.b', '.[0].c', '.a[1]' against a value; returns
+    _MISSING when absent."""
     if path in (".", ""):
         return value
     cur = value
-    for part in path.lstrip(".").split("."):
-        part = part.rstrip("?")
-        if not part:
+    # tokenize into field names and [N] indices
+    for part in re.findall(r"\[(-?\d+)\]|([A-Za-z_][\w-]*\??)", path):
+        idx, field = part
+        if idx:
+            i = int(idx)
+            if isinstance(cur, list) and -len(cur) <= i < len(cur):
+                cur = cur[i]
+            else:
+                return _MISSING
             continue
-        if isinstance(cur, dict) and part in cur:
-            cur = cur[part]
+        field = field.rstrip("?")
+        if isinstance(cur, dict) and field in cur:
+            cur = cur[field]
         else:
             return _MISSING
     return cur
@@ -167,6 +181,38 @@ def _apply_stage(stage: str, values: Iterator[Any]) -> Iterator[Any]:
             if _eval_condition(cond, v):
                 yield v
         return
+    m = re.match(r"^group_by\((.*)\)$", stage)
+    if m:
+        keypath = m.group(1).strip()
+        for v in values:
+            if not isinstance(v, list):
+                raise JqError("group_by: input is not an array")
+            keyed = []
+            for item in v:
+                k = _get_path(item, keypath)
+                keyed.append((None if k is _MISSING else k, item))
+            keyed.sort(key=lambda kv: (kv[0] is not None, str(kv[0])))
+            groups: list[list[Any]] = []
+            last_key: Any = _MISSING
+            for k, item in keyed:
+                if groups and k == last_key:
+                    groups[-1].append(item)
+                else:
+                    groups.append([item])
+                    last_key = k
+            yield groups
+        return
+    m = re.match(r"^map\((.*)\)$", stage)
+    if m:
+        inner = m.group(1)
+        for v in values:
+            if not isinstance(v, list):
+                raise JqError("map: input is not an array")
+            out: list[Any] = []
+            for item in v:
+                out.extend(query(inner, item))
+            yield out
+        return
     m = re.match(r"^\{(.*)\}$", stage)
     if m:
         fields = []
@@ -185,7 +231,8 @@ def _apply_stage(stage: str, values: Iterator[Any]) -> Iterator[Any]:
             yield out
         return
     if stage.startswith("."):
-        # path access with optional [] iterations, e.g. .a.b[].c or .[]
+        # path access with optional [] iterations and [N] indices,
+        # e.g. .a.b[].c, .[], .[0].name
         tokens = re.split(r"(\[\])", stage)
         for v in values:
             results = [v]
@@ -209,7 +256,10 @@ def _apply_stage(stage: str, values: Iterator[Any]) -> Iterator[Any]:
             for r in results:
                 yield None if r is _MISSING else r
         return
-    raise JqError(f"unsupported expression: {stage!r}")
+    raise JqError(
+        f"unsupported expression: {stage!r} (jqlite subset — see "
+        "sdtk_tpu/utils/jqlite.py docstring for the supported grammar)"
+    )
 
 
 def query(expr: str, value: Any) -> list[Any]:

@@ -111,6 +111,7 @@ def test_catalog_flow(tmp_path, capsys):
     assert cli_catalog.main(["create-context", "standup", "--speakers", "alice,bob"]) == 0
     assert cli_catalog.main(["add", str(wav), "--context", "standup"]) == 0
     assert cli_catalog.main(["add", str(wav)]) == 1  # duplicate without --force
+    capsys.readouterr()  # drop the stdout 'Added:' confirmation block
     assert cli_catalog.main(["list", "--format", "ids"]) == 0
     b3 = capsys.readouterr().out.strip()
     assert len(b3) == 32
@@ -119,6 +120,7 @@ def test_catalog_flow(tmp_path, capsys):
     assert capsys.readouterr().out.strip() == "unprocessed"
 
     assert cli_catalog.main(["register-transcript", b3, str(tr), "--backend", "assemblyai"]) == 0
+    capsys.readouterr()  # drop the 'Registered transcript:' block
     assert cli_catalog.main(["status", b3]) == 0
     assert capsys.readouterr().out.strip() == "transcribed"
 

@@ -137,7 +137,7 @@ def test_catalog_status_filter_and_prefix_resolution(fake_env, tmp_path, capsys)
                          "json"]) == 0
     entries = out_json(capsys)
     assert len(entries) == 2
-    b3 = entries[0]["recording"]["b3sum"]
+    b3 = entries[0]["b3sum"]
     # b3sum-prefix resolution (reference speaker-catalog:164-179)
     assert cli_cat.main(["show", b3[:8], "--format", "json"]) == 0
     assert out_json(capsys)["recording"]["b3sum"] == b3

@@ -78,8 +78,11 @@ def test_register_transcript_advances_status(world):
     run(env, "catalog", "register-transcript", str(wav), str(tr),
         "--backend", "assemblyai")
     r = run(env, "catalog", "list", "--format", "json")
-    entry = json.loads(r.stdout)[0]
-    assert entry["status"] == "transcribed"
+    row = json.loads(r.stdout)[0]
+    assert row["status"] == "transcribed"
+    assert row["transcriptions"] == 1  # list rows carry the count
+    r = run(env, "catalog", "show", row["b3sum"], "--format", "json")
+    entry = json.loads(r.stdout)
     assert entry["transcriptions"][0]["speaker_count"] == 2
 
 

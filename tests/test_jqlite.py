@@ -50,7 +50,7 @@ def test_object_construction():
 def test_lines_output_and_errors():
     assert query_lines(".[].id", DATA).splitlines() == ['"alice"', '"bob"', '"carol"']
     with pytest.raises(JqError):
-        query("map(.id)", DATA)  # unsupported → explicit error, not garbage
+        query("reduce .[] as $x (0; .+1)", DATA)  # unsupported → explicit error
 
 
 def test_cli_query_wired(speakers_dir, capsys):
@@ -60,4 +60,4 @@ def test_cli_query_wired(speakers_dir, capsys):
     capsys.readouterr()
     assert cli_det.main(["query", '.[] | select(.id == "zoe") | .names.default']) == 0
     assert capsys.readouterr().out.strip() == '"Zoe"'
-    assert cli_det.main(["query", "map(.x)"]) == 1
+    assert cli_det.main(["query", "reduce .[] as $x (0; .+1)"]) == 1
