@@ -298,7 +298,7 @@ def main() -> int:
         except subprocess.TimeoutExpired as e:
             out = (e.stdout or "") + (e.stderr or "") if isinstance(e.stdout, str) else ""
             rc = -1
-        m = re.findall(r"Results?: (\d+) passed, (\d+) failed", out)
+        m = re.findall(r"(?:Results?|Total): (\d+) passed, (\d+) failed", out)
         if m:
             passed, failed = int(m[-1][0]), int(m[-1][1])
         else:

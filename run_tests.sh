@@ -4,12 +4,19 @@
 #   ./run_tests.sh cluster    one collection (tests/test_<name>.py)
 #   ./run_tests.sh --doc      show the test-suite documentation
 #   ./run_tests.sh --evals    accuracy benchmarks (fake backend)
+#   ./run_tests.sh --reference run the REFERENCE toolkit's own 198-test
+#                             acceptance suite against this CLI
+#                             (evals/run_reference_suite.py; scoreboard in
+#                             REFSUITE.json)
 set -euo pipefail
 cd "$(dirname "$0")"
 
 case "${1:-}" in
   --doc)
     cat tests/README.md
+    ;;
+  --reference)
+    python evals/run_reference_suite.py
     ;;
   --evals)
     python evals/benchmark_identify.py --backend "${2:-fake}"

@@ -98,24 +98,25 @@ def cmd_review(args) -> int:
     if args.cont:
         session = RV.load_session()
         if not session:
-            err("no session to continue")
+            print("No saved session found. Start a new review.")
             return 1
     else:
         b3 = None
         if args.audio:
             b3 = catalog_store.resolve_b3sum(args.audio)
+            if not b3:
+                print(f"Could not resolve audio: {args.audio}")
+                err(f"Error: Audio not found: {args.audio}")
+                return 1
         else:
             b3 = RV.next_needing_review()
             if not b3:
-                info(args, "Nothing needs review.")
+                print("No assignments found to review. Run speaker-assign first.")
                 return 0
-        if not b3:
-            err(f"could not resolve: {args.audio}")
-            return 1
         try:
             session = RV.build_session(b3)
-        except KeyError as e:
-            err(e.args[0] if e.args else str(e))
+        except KeyError:
+            print("No assignments found for this recording. Run speaker-assign first.")
             return 1
         if getattr(args, "context", None):
             session.context = args.context
@@ -209,26 +210,49 @@ def cmd_status(args) -> int:
         print("No active session.")
         return 0
     decided = sum(1 for s in session.segments if s.decision)
-    out = {
-        "recording_b3sum": session.recording_b3sum,
-        "position": session.position,
-        "segments": len(session.segments),
-        "decided": decided,
-        "updated_at": session.updated_at,
-    }
-    emit_json(out)
+    if getattr(args, "format", "text") == "json":
+        emit_json(
+            {
+                "recording_b3sum": session.recording_b3sum,
+                "position": session.position,
+                "segments": len(session.segments),
+                "decided": decided,
+                "updated_at": session.updated_at,
+            }
+        )
+        return 0
+    # text output (reference cmd_status shape)
+    print("Active Session")
+    print(f"  Recording: {session.recording_b3sum[:8]}...")
+    print(f"  Audio: {session.audio_path}")
+    if session.context:
+        print(f"  Context: {session.context}")
+    print(f"  Progress: {session.position}/{len(session.segments)} segments")
+    print(f"  Decided: {decided}")
+    if session.updated_at:
+        print(f"  Updated: {session.updated_at}")
     return 0
 
 
 def cmd_clear(args) -> int:
     RV.clear_session()
-    info(args, "Session cleared.")
+    print("Session cleared")
     return 0
 
 
 def build_parser() -> argparse.ArgumentParser:
-    parser = argparse.ArgumentParser(prog="speaker-review",
-                                     description="Interactive assignment review")
+    parser = argparse.ArgumentParser(
+        prog="speaker-review",
+        description="Interactive assignment review",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        epilog="""keybindings (review loop):
+  p   play segment audio        a   approve assignment
+  r   reject assignment         s   skip segment
+  n   next segment              N   previous segment
+  e   edit speaker name         c   set recording context
+  q   quit (session saved)      ?   help
+""",
+    )
     add_quiet(parser)
     sub = parser.add_subparsers(dest="command", required=True)
 
@@ -243,6 +267,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(func=cmd_review)
 
     p = sub.add_parser("status", help="Show session status")
+    p.add_argument("--format", "-f", choices=["text", "json"], default="text")
     p.set_defaults(func=cmd_status)
 
     p = sub.add_parser("clear", help="Clear saved session")

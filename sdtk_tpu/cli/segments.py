@@ -56,8 +56,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.speaker not in speakers and args.speaker != "UU":
         print(
-            f"Error: speaker '{args.speaker}' not in transcript (available: "
-            f"{', '.join(speakers)})",
+            f"Error: Speaker '{args.speaker}' not found in transcript "
+            f"(available: {', '.join(speakers)})",
             file=sys.stderr,
         )
         return 1

@@ -97,11 +97,16 @@ def llm_cache_dir() -> Path:
 
 
 def review_session_dir() -> Path:
-    return Path(
-        os.environ.get(
-            "SPEAKER_REVIEW_SESSION_DIR", os.path.expanduser("~/.cache/speaker-review")
-        )
-    )
+    """$SPEAKER_REVIEW_SESSION_DIR > $XDG_CACHE_HOME/speaker-review >
+    ~/.cache/speaker-review (reference speaker-review:232-238 uses the
+    XDG cache; tests redirect via XDG_CACHE_HOME)."""
+    explicit = os.environ.get("SPEAKER_REVIEW_SESSION_DIR")
+    if explicit:
+        return Path(explicit)
+    xdg = os.environ.get("XDG_CACHE_HOME")
+    if xdg:
+        return Path(xdg) / "speaker-review"
+    return Path(os.path.expanduser("~/.cache/speaker-review"))
 
 
 def debug_enabled() -> bool:

@@ -51,12 +51,35 @@ class ReviewSession:
 
     def to_dict(self) -> dict[str, Any]:
         d = asdict(self)
+        # reference session-field alias (speaker-review:232-258)
+        d["current_index"] = self.position
         return d
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "ReviewSession":
+        d = dict(d)
+        # tolerate the reference's session schema: current_index for
+        # position, decisions as an index-keyed dict
+        if "current_index" in d and "position" not in d:
+            d["position"] = d["current_index"]
+        decisions = d.pop("decisions", None)
         segs = [ReviewSegment(**s) for s in d.pop("segments", [])]
-        return cls(segments=segs, **{k: v for k, v in d.items() if k in cls.__dataclass_fields__ and k != "segments"})
+        if decisions and segs:
+            for key, dec in decisions.items():
+                try:
+                    i = int(key)
+                except (TypeError, ValueError):
+                    continue
+                if 0 <= i < len(segs) and isinstance(dec, dict):
+                    segs[i].decision = dec.get("action")
+        return cls(
+            segments=segs,
+            **{
+                k: v
+                for k, v in d.items()
+                if k in cls.__dataclass_fields__ and k != "segments"
+            },
+        )
 
 
 def session_path() -> Path:
