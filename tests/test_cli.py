@@ -271,7 +271,7 @@ def test_review_cli_noninteractive(tmp_path, capsys, monkeypatch):
     monkeypatch.setattr("sys.stdin", __import__("io").StringIO("a\nq\n"))
     assert cli_review.main(["review", str(wav)]) == 0
     capsys.readouterr()
-    assert cli_review.main(["status"]) == 0
+    assert cli_review.main(["status", "--format", "json"]) == 0
     st = json.loads(capsys.readouterr().out)
     assert st["decided"] == 1
     assert cli_review.main(["clear"]) == 0
