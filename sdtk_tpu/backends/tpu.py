@@ -68,11 +68,9 @@ class TpuBackend(LocalEmbeddingBackend):
 
     def embed_windows(self, wav: np.ndarray, window_s: float = WINDOW_SECONDS,
                       hop_s: float = HOP_SECONDS) -> np.ndarray:
-        """Batched on-device window embeddings (one jit call per
-        max_windows chunk)."""
-        windows, lengths, n_win = self.engine._window(np.asarray(wav, np.float32))
-        embs = np.asarray(self.engine._embed_jit(windows, lengths))
-        return embs[:n_win]
+        """Window embeddings over the WHOLE recording (one jit call per
+        max_windows-sized chunk — same compiled program each time)."""
+        return self.engine.embed_all_windows(np.asarray(wav, np.float32))
 
     def embed_batch(self, wavs: list[np.ndarray]) -> np.ndarray:
         return np.stack([self.engine.embed_one(w) for w in wavs])
@@ -177,6 +175,17 @@ class _EmbedEngine:
                 self.params_source = str(path)
                 return variables
         self.params_source = "random-init"
+        import sys
+
+        print(
+            f"Warning: no trained checkpoint found for "
+            f"{type(self.model).__name__} (searched: "
+            f"{', '.join(str(p) for p in candidates)}); using RANDOM weights "
+            f"— identify/verify scores will be meaningless. Set "
+            f"$SDTK_MODEL_PATH or place a checkpoint in "
+            f"{config.model_dir()}.",
+            file=sys.stderr,
+        )
         return variables
 
     def save_params(self, path: str | Path | None = None) -> Path:
@@ -190,26 +199,56 @@ class _EmbedEngine:
         atomic_write_bytes(path, flax.serialization.to_bytes(self.variables))
         return path
 
-    def _window(self, wav: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
-        """Cut into fixed windows; returns (windows (W_max, L), lengths
-        (W_max,), n_valid)."""
-        L, hop, W = self.window_len, self.hop_len, self.max_windows
+    def _window_all(self, wav: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Cut the WHOLE recording into fixed windows (no cap); returns
+        (windows (n, L), lengths (n,)).  The reference's cloud call
+        consumed the full file (speechmatics_backend.py:361-489); the cap
+        lives only in the per-call batch shape, not in coverage."""
+        L, hop = self.window_len, self.hop_len
         n = len(wav)
-        if n <= L:
-            n_win = 1
-        else:
-            n_win = min(W, 1 + (n - L + hop - 1) // hop)
-        windows = np.zeros((W, L), dtype=np.float32)
-        lengths = np.zeros(W, dtype=np.int32)
+        n_win = 1 if n <= L else 1 + (n - L + hop - 1) // hop
+        windows = np.zeros((n_win, L), dtype=np.float32)
+        lengths = np.zeros(n_win, dtype=np.int32)
         for i in range(n_win):
             start = i * hop
             chunk = wav[start : start + L]
             windows[i, : len(chunk)] = chunk
             lengths[i] = max(len(chunk), self.cfg.win_length)
+        return windows, lengths
+
+    def _window(self, wav: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+        """First max_windows-sized padded batch (legacy single-call shape);
+        full-coverage callers use embed_all_windows."""
+        W = self.max_windows
+        all_w, all_l = self._window_all(wav)
+        n_win = min(W, all_w.shape[0])
+        windows = np.zeros((W, all_w.shape[1]), dtype=np.float32)
+        lengths = np.zeros(W, dtype=np.int32)
+        windows[:n_win] = all_w[:n_win]
+        lengths[:n_win] = all_l[:n_win]
         return windows, lengths, n_win
 
+    def embed_all_windows(self, wav: np.ndarray) -> np.ndarray:
+        """Embed EVERY window of a recording: loop the single static-shape
+        jit program over max_windows-sized chunks (compile once, any
+        length).  Returns (n_windows, D) unit rows."""
+        all_w, all_l = self._window_all(np.asarray(wav, dtype=np.float32))
+        W = self.max_windows
+        out = []
+        for start in range(0, all_w.shape[0], W):
+            chunk_w = all_w[start : start + W]
+            chunk_l = all_l[start : start + W]
+            n = chunk_w.shape[0]
+            if n < W:  # pad the tail chunk to the static batch shape
+                chunk_w = np.concatenate(
+                    [chunk_w, np.zeros((W - n, all_w.shape[1]), np.float32)]
+                )
+                chunk_l = np.concatenate([chunk_l, np.zeros(W - n, np.int32)])
+            embs = np.asarray(self._embed_jit(chunk_w, chunk_l))
+            out.append(embs[:n])
+        return np.concatenate(out, axis=0)
+
     def embed_one(self, wav: np.ndarray) -> np.ndarray:
-        windows, lengths, n_win = self._window(np.asarray(wav, dtype=np.float32))
-        embs = np.asarray(self._embed_jit(windows, lengths))  # (W, D) unit rows
-        pooled = embs[:n_win].mean(axis=0)
+        embs = self.embed_all_windows(wav)  # (n, D) unit rows — full file
+        pooled = embs.mean(axis=0)
         return (pooled / max(np.linalg.norm(pooled), 1e-12)).astype(np.float32)

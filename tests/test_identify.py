@@ -150,6 +150,36 @@ def test_tpu_backend_end_to_end(speakers_dir, tmp_path, monkeypatch):
     assert res[0]["trust_level"] == "low"
 
 
+def test_tpu_backend_full_recording_no_window_cap(tmp_path):
+    """identify/enroll must consume the WHOLE recording, looping the
+    static-shape jit program over max_windows chunks (VERDICT r1 item 3:
+    the reference cloud call used the full file,
+    speechmatics_backend.py:361-489)."""
+    import numpy as np
+
+    from sdtk_tpu.backends.tpu import TpuBackend
+
+    backend = TpuBackend(channels=64, max_windows=4)
+    sr = 16000
+    rng = np.random.default_rng(5)
+    # 31.5 s -> 1 + ceil((31.5-3)/1.5) = 20 windows, 5 chunks of 4
+    long = (0.1 * rng.standard_normal(int(31.5 * sr))).astype(np.float32)
+    embs = backend.embed_windows(long)
+    assert embs.shape[0] == 20  # > max_windows: cap removed
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=1), 1.0, rtol=1e-4)
+
+    # pooled embedding over all windows differs from a first-chunk-only
+    # pool (i.e. the later audio genuinely contributes)
+    full = backend.embed_waveform(long)
+    head_only = embs[:4].mean(axis=0)
+    head_only /= np.linalg.norm(head_only)
+    assert not np.allclose(full, head_only, atol=1e-4)
+    # and matches the mean over ALL windows
+    want = embs.mean(axis=0)
+    want /= np.linalg.norm(want)
+    np.testing.assert_allclose(full, want, atol=1e-4)
+
+
 def test_backends_yaml_registry_override(speakers_dir, tmp_path, monkeypatch):
     """$SPEAKER_BACKENDS_CONFIG yaml adds/overrides registry entries
     (reference base.py:212-269 + backends.yaml)."""
