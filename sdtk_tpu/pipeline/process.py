@@ -56,6 +56,10 @@ class ProcessResult:
     steps_failed: list[str] = field(default_factory=list)
     transcripts: dict[str, str] = field(default_factory=dict)
     error: str | None = None
+    # set when the audio container can't be decoded by the first-party
+    # codecs: the queue marks the item `skipped` (with the reason) instead
+    # of `failed` (r1 VERDICT item 6: no enqueue-then-fail)
+    unsupported_format: bool = False
 
 
 def is_audio_file(path: Path) -> bool:
@@ -175,7 +179,15 @@ def process_single(
         out.parent.mkdir(parents=True, exist_ok=True)
         got: Path | None = None
         if backend in LOCAL_BACKENDS:
-            got = transcribe_local(audio_path, out, embed_backend)
+            try:
+                got = transcribe_local(audio_path, out, embed_backend)
+            except Exception as e:  # noqa: BLE001 — per-backend failure
+                from ..utils.audio import AudioFormatError
+
+                if isinstance(e, AudioFormatError):
+                    result.unsupported_format = True
+                result.error = str(e)
+                got = None
         else:
             tool_name = STT_TOOLS.get(backend)
             if tool_name is None:
@@ -196,6 +208,10 @@ def process_single(
                     try:
                         got = transcribe_local(audio_path, out, embed_backend)
                     except Exception as e:  # noqa: BLE001 — per-backend failure
+                        from ..utils.audio import AudioFormatError
+
+                        if isinstance(e, AudioFormatError):
+                            result.unsupported_format = True
                         result.error = str(e)
                         got = None
         if got:
@@ -278,6 +294,10 @@ def process_batch(
         if res.success:
             queue.mark(item["b3sum"], "completed",
                        results={"transcripts": res.transcripts})
+        elif res.unsupported_format:
+            queue.mark(item["b3sum"], "skipped",
+                       error=res.error or "unsupported audio container",
+                       results={"steps_failed": res.steps_failed})
         else:
             queue.mark(item["b3sum"], "failed",
                        error=res.error or "Processing failed",

@@ -81,3 +81,99 @@ def test_native_resample_parity_all_ratios(tmp_path):
         a, b = y_native[200:m - 200], y_scipy[200:m - 200]
         rel = np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-9)
         assert rel < 0.005, (sr_in, rel)
+
+
+# --- first-party codecs: FLAC + MPEG Layer I (r1 VERDICT item 6) ---------
+
+
+def test_flac_roundtrip_bit_exact(tmp_path):
+    """encode→decode is lossless, MD5-signed, and load_audio dispatches
+    on the .flac extension."""
+    from sdtk_tpu.utils import flacio
+
+    rng = np.random.default_rng(2)
+    t = np.arange(16000) / 16000
+    sig = 0.4 * np.sin(2 * np.pi * 330 * t) + 0.05 * rng.standard_normal(16000)
+    pcm = np.clip(np.round(sig * 32767), -32768, 32767).astype(np.int16)
+
+    data = flacio.encode(pcm, 16000)
+    assert data[:4] == b"fLaC"
+    assert len(data) < len(pcm) * 2  # genuinely compresses
+    dec, sr, bits = flacio.decode(data)
+    assert (sr, bits) == (16000, 16)
+    np.testing.assert_array_equal(dec[:, 0], pcm.astype(np.int32))
+
+    p = tmp_path / "x.flac"
+    p.write_bytes(data)
+    x, sr = audio.load_audio(p, target_sr=16000)
+    assert sr == 16000
+    np.testing.assert_allclose(x, pcm.astype(np.float32) / 32768.0, atol=2e-5)
+    info = audio.probe(p)
+    assert info.format == "flac" and abs(info.duration - 1.0) < 1e-6
+
+
+def test_flac_stereo_roundtrip():
+    from sdtk_tpu.utils import flacio
+
+    rng = np.random.default_rng(3)
+    st = (rng.integers(-2000, 2000, size=(8000, 2))).astype(np.int16)
+    dec, sr, _ = flacio.decode(flacio.encode(st, 22050))
+    assert sr == 22050
+    np.testing.assert_array_equal(dec, st.astype(np.int32))
+
+
+def test_mpeg_layer1_roundtrip_snr(tmp_path):
+    """save_mp3 → load_audio round-trip keeps speech-band SNR above 30 dB
+    (SRRC-prototype filterbank; see utils/mpegaudio.py scope notes)."""
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    sig = (
+        0.3 * np.sin(2 * np.pi * 220 * t)
+        + 0.2 * np.sin(2 * np.pi * 700 * t + 1.0)
+    ) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+    sig = sig.astype(np.float32)
+    p = tmp_path / "s.mp3"
+    audio.save_mp3(p, sig, sr)
+    dec, got_sr = audio.load_audio(p, target_sr=sr)
+    assert got_sr == sr
+    d = 481  # filterbank delay
+    n = min(len(dec) - d, len(sig))
+    err = np.mean((dec[d : d + n] - sig[:n]) ** 2)
+    snr = 10 * np.log10(np.mean(sig[:n] ** 2) / err)
+    assert snr > 30.0, snr
+
+
+def test_mpeg_layer3_rejected_loudly(tmp_path):
+    """Real-world Layer III streams must fail with an explicit message,
+    never silently decode garbage."""
+    from sdtk_tpu.utils.mpegaudio import UnsupportedFormatError, decode
+
+    # minimal Layer III header: sync + MPEG1 + layer 01 + bitrate/rate bits
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 412
+    with pytest.raises(UnsupportedFormatError, match="Layer III"):
+        decode(frame)
+    p = tmp_path / "song.mp3"
+    p.write_bytes(frame)
+    with pytest.raises(audio.AudioFormatError, match="Layer III"):
+        audio.load_audio(p)
+
+
+def test_process_queue_skips_undecodable_with_reason(tmp_path, speakers_dir,
+                                                     monkeypatch):
+    """Discovery accepts .mp3, but an undecodable (Layer III) file is
+    marked `skipped` with the codec's reason — not enqueue-then-fail
+    (r1 VERDICT item 6)."""
+    monkeypatch.setenv("SPEAKER_DETECTION_BACKEND", "fake")
+    from sdtk_tpu.pipeline import process as PR
+    from sdtk_tpu.store.queue import ProcessingQueue
+
+    bad = tmp_path / "song.mp3"
+    bad.write_bytes(bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 412)
+    q = ProcessingQueue(tmp_path / "q.yaml")
+    item = q.add(bad, backends=["tpu-diarize"])
+    results = PR.process_batch([item], queue=q, parallel=1, quiet=True,
+                               embed_backend="fake")
+    assert not results[0].success and results[0].unsupported_format
+    (it,) = q.items()
+    assert it["status"] == "skipped"
+    assert "Layer III" in it["error"]
