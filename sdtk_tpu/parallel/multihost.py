@@ -76,15 +76,22 @@ def host_work_shard(paths: list[Path | str]) -> list[Path]:
 def process_corpus(
     directory: str | Path,
     parallel: int = 4,
+    backends: list[str] | None = None,
     **kwargs: Any,
 ) -> dict[str, Any]:
     """Multi-host batch driver: every host processes its shard of the
     corpus with the standard queue pipeline (BASELINE.json config 4)."""
     from ..pipeline.process import find_audio_files, process_batch
+    from ..store.queue import ProcessingQueue
 
-    paths = find_audio_files(directory)
+    paths = find_audio_files(directory, recursive=True)
     mine = host_work_shard(paths)
-    results = process_batch(mine, parallel=parallel, **kwargs)
-    results["host_shard"] = len(mine)
-    results["corpus_total"] = len(paths)
-    return results
+    queue = ProcessingQueue()
+    items = [it for p in mine if (it := queue.add(p, backends=backends))]
+    results = process_batch(items, queue=queue, parallel=parallel, **kwargs)
+    return {
+        "completed": sum(1 for r in results if r.success),
+        "failed": sum(1 for r in results if not r.success),
+        "host_shard": len(mine),
+        "corpus_total": len(paths),
+    }
