@@ -211,3 +211,49 @@ print(json.dumps({
     assert shards[0].isdisjoint(shards[1])
     assert len(shards[0] | shards[1]) == 20
     assert shards[0] and shards[1]
+
+
+def test_ring_attention_matches_dense():
+    """Streaming-softmax ring attention over the 8-device mesh equals
+    dense masked attention (SURVEY §2.3 ring-attention row)."""
+    from sdtk_tpu.ops.ringattn import ring_attention
+
+    rng = np.random.default_rng(0)
+    mesh = make_mesh("data=8,model=1")
+    t, h, dh = 64, 4, 16
+    q = jnp.asarray(rng.standard_normal((t, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((t, h, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((t, h, dh)), jnp.float32)
+    mask = jnp.asarray(rng.random(t) > 0.2)
+
+    got = np.asarray(ring_attention(q, k, v, mask, mesh))
+
+    logits = np.einsum("thd,shd->hts", np.asarray(q) / np.sqrt(dh), np.asarray(k))
+    logits = np.where(np.asarray(mask)[None, None, :], logits, -1e30)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    ref = np.einsum("hts,shd->thd", w, np.asarray(v))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_conformer_sequence_parallel_parity():
+    """The time-sharded conformer forward (ring attention + halo'd
+    depthwise conv + psum'd ASP) matches the single-device module on the
+    8-device mesh, including padded (masked) frames (r1 VERDICT item 8)."""
+    from sdtk_tpu.models import Conformer, ConformerConfig
+    from sdtk_tpu.ops.ringattn import conformer_sp_embed
+
+    cfg = ConformerConfig(dim=64, n_blocks=2, n_heads=4, emb_dim=32,
+                          attention_channels=16, dtype="float32")
+    model = Conformer(cfg)
+    rng = np.random.default_rng(7)
+    t = 160
+    feats = jnp.asarray(rng.standard_normal((t, cfg.n_mels)), jnp.float32)
+    mask = jnp.asarray(np.arange(t) < t - 13)  # padded tail
+
+    variables = model.init(jax.random.PRNGKey(0), feats[None], mask=mask[None])
+    ref = np.asarray(model.apply(variables, feats[None], mask=mask[None]))[0]
+
+    mesh = make_mesh("data=8,model=1")
+    got = np.asarray(conformer_sp_embed(variables, cfg, feats, mask, mesh))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
