@@ -191,3 +191,92 @@ def test_full_pipeline_decision_parity(speakers_dir, tmp_path, monkeypatch,
         # signal scores are rounded for serialization; decisions must agree
         assert m["score"] == pytest.approx(score, abs=1e-4)
         assert m["confidence"] == conf or m["speaker_id"] is None
+
+
+def test_four_signal_fusion_parity():
+    """All four signal types at once (embedding/llm/context/cross-backend)
+    against the independent oracle — the full reference weights table
+    (speaker-assign:49-54), with trust multipliers on the embedding term
+    only (r1 VERDICT item 9: extend the oracle to all 4 signal types)."""
+    sig_dicts = [
+        {"type": "embedding_match", "speaker_id": "alice", "score": 0.9,
+         "trust_level": "high"},
+        {"type": "llm_name_detection", "speaker_id": "alice", "score": 0.8},
+        {"type": "context_expected", "speaker_id": "alice", "score": 0.5},
+        {"type": "cross_backend_agreement", "speaker_id": "alice", "score": 0.85},
+        # a competing candidate on two signals
+        {"type": "embedding_match", "speaker_id": "bob", "score": 0.55,
+         "trust_level": "medium"},
+        {"type": "context_expected", "speaker_id": "bob", "score": 0.5},
+    ]
+    signals = [
+        A.Signal(s["type"], s["speaker_id"], s["score"],
+                 {"trust_level": s.get("trust_level", "unknown")})
+        for s in sig_dicts
+    ]
+    # our Signal carries trust in details; combine_signals reads it there
+    got = A.combine_signals("A", signals, threshold=0.3)
+    want_id, want_conf, want_score = reference_decision(sig_dicts, 0.3)
+    # oracle: alice = 0.4*1.0*0.9 + 0.3*0.8 + 0.2*0.5 + 0.1*0.85 = 0.785
+    assert want_score == pytest.approx(0.785)
+    assert got.speaker_id == want_id == "alice"
+    assert got.confidence == want_conf == "high"
+    assert got.score == pytest.approx(want_score)
+    # runner-up recorded with the oracle's score for bob
+    bob = next(c for c in got.candidates if c["speaker_id"] == "bob")
+    assert bob["score"] == pytest.approx(0.4 * 0.7 * 0.55 + 0.2 * 0.5)
+
+
+@pytest.mark.parametrize("trust,score,expect", [
+    ("high", 0.9, ("alice", "low")),     # 0.36 -> above 0.3, low band
+    ("medium", 0.9, (None, "unassigned")),  # 0.252 -> below threshold
+    ("invalidated", 0.9, (None, "unassigned")),  # multiplier 0 kills it
+    ("high", 1.0, ("alice", "medium")),  # 0.4 -> medium band boundary
+])
+def test_trust_multiplier_parity(trust, score, expect):
+    """Embedding-only fusion across every trust tier matches the oracle
+    (reference TRUST_MULTIPLIERS speaker-assign:57-63)."""
+    sig = [{"type": "embedding_match", "speaker_id": "alice",
+            "score": score, "trust_level": trust}]
+    got = A.combine_signals(
+        "A",
+        [A.Signal("embedding_match", "alice", score, {"trust_level": trust})],
+        threshold=0.3,
+    )
+    want_id, want_conf, want_score = reference_decision(sig, 0.3)
+    assert (got.speaker_id, got.confidence) == (want_id, want_conf) == expect
+    assert got.score == pytest.approx(want_score)
+
+
+def test_cross_backend_pipeline_emits_oracle_score(speakers_dir, tmp_path,
+                                                   monkeypatch):
+    """End-to-end: a second agreeing backend adds the 0.1-weight signal
+    and the final score matches the oracle recomputation from the emitted
+    signal list."""
+    monkeypatch.setenv("SPEAKER_DETECTION_BACKEND", "fake")
+    from conftest import make_wav
+    from sdtk_tpu.backends import register_backend
+    from sdtk_tpu.backends.fake import FakeBackend
+    from sdtk_tpu.pipeline import identify as ID
+
+    register_backend("fake-second", FakeBackend())
+    wav = make_wav(tmp_path / "x.wav", seconds=25.0, freq=290, seed=9)
+    tr = tmp_path / "t.json"
+    tr.write_text(json.dumps(ASSEMBLYAI_2SPK))
+    ID.enroll("alice", wav, create_missing=True, name="Alice",
+              segments=[(1.0, 5.0)])
+    ID.enroll("alice", wav, backend_name="fake-second",
+              segments=[(1.0, 5.0)])
+
+    out = A.assign(wav, tr, threshold=0.1, cross_backends=["fake-second"],
+                   quiet=True)
+    m = out["mappings"]["A"]
+    types = {s["type"] for s in m["signals"]}
+    assert "cross_backend_agreement" in types
+    oracle = [
+        {"type": s["type"], "speaker_id": m["speaker_id"],
+         "score": s["score"], "trust_level": s.get("trust_level", "unknown")}
+        for s in m["signals"]
+    ]
+    _, _, want_score = reference_decision(oracle, 0.1)
+    assert m["score"] == pytest.approx(want_score, abs=1e-3)
