@@ -60,11 +60,26 @@ def main() -> int:
 
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, cfg.n_mels)))
 
-    @jax.jit
-    def embed(wav):
+    def _embed_math(wav):
         feats, mask = fbank.log_mel(wav, cfg)
         emb = model.apply(variables, feats, mask=mask)
         return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+
+    embed = jax.jit(_embed_math)
+
+    # Cluster stage inside the SAME program as the tower — one dispatch per
+    # batch (the chip is dispatch-bound at these sizes).  Subspace iteration
+    # (matmul-only top-k eigensolve) replaces dense eigh at large N where
+    # the O(N³) QR algorithm starts to dominate.
+    subspace_env = os.environ.get("SDTK_BENCH_SUBSPACE", "auto")
+    use_subspace = (
+        batch >= 512 if subspace_env == "auto" else subspace_env not in ("0", "")
+    )
+    from sdtk_tpu.cluster.spectral import cluster_stage
+
+    @jax.jit
+    def embed_cluster(wav):
+        return cluster_stage(_embed_math(wav), use_subspace=use_subspace)
 
     # Device-resident input: measures the compute pipeline, not the PCIe/
     # tunnel transfer (the host loader overlaps transfers in production).
@@ -73,18 +88,6 @@ def main() -> int:
             np.random.default_rng(0).standard_normal((batch, n_samples)), jnp.float32
         )
     )
-
-    cluster_fn = None
-    try:
-        from sdtk_tpu.cluster.spectral import bench_cluster_fn
-
-        cluster_fn = bench_cluster_fn()
-    except Exception:
-        pass
-
-    def embed_cluster(w):
-        e = embed(w)
-        return cluster_fn(e) if cluster_fn is not None else e
 
     # warm both programs
     jax.block_until_ready(embed(wav))
@@ -119,6 +122,8 @@ def main() -> int:
         "window_s": window_s,
         "embed_only_audio_s_per_s": round(embed_only, 1),
         "embed_plus_cluster_audio_s_per_s": round(full, 1),
+        "cluster_eigensolver": "subspace" if use_subspace else "dense_eigh",
+        "fused_single_dispatch": True,
         "cluster_overhead_pct": round(100.0 * (dt_full - dt_embed) / dt_full, 1),
         "flops_per_batch_est": flops_per_batch,
         "mfu_est": round(mfu, 4),

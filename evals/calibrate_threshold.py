@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Fit the verify-score calibration for a local backend checkpoint.
+
+The reference toolkit inherits 0.354 as the identify/verify similarity
+threshold (speaker_detection:1501, base.py:136) from the Speechmatics
+score space.  A local embedding space has its own geometry, so this
+script *measures* where that operating point lives: it scores genuine and
+impostor trials over training-family speakers UNSEEN in training (ids
+offset far beyond the training range — the held-out eval family in
+data/synth_heldout.py is never touched, it stays a pure measurement set),
+finds the EER threshold t*, and writes an affine calibration
+
+    calibrated = 0.354 + (raw - t*) * gain,   gain = (0.9-0.354)/(mu_gen - t*)
+
+as a ``.calib.json`` sidecar next to the checkpoint.  TpuBackend picks the
+sidecar up automatically (backends/tpu.py), making `identify` /` verify`
+with the reference's default threshold behave like the reference intended:
+accept genuine, reject impostor, at the measured equal-error point.
+
+Usage: python evals/calibrate_threshold.py [--backend tpu] [--speakers 24]
+       [--trials-per-speaker 6] [--base-id 500000] [--out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def eer_point(genuine: np.ndarray, impostor: np.ndarray) -> tuple[float, float]:
+    """Threshold sweep → (eer, threshold at the FAR==FRR crossing)."""
+    lo = float(min(genuine.min(), impostor.min()))
+    hi = float(max(genuine.max(), impostor.max()))
+    best = (1.0, 0.5 * (lo + hi))
+    for t in np.linspace(lo, hi, 2001):
+        far = float((impostor >= t).mean())
+        frr = float((genuine < t).mean())
+        gap = abs(far - frr)
+        if gap < best[0]:
+            best = (gap, float(t), 0.5 * (far + frr))
+    return best[2], best[1]
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--backend", default="tpu")
+    p.add_argument("--speakers", type=int, default=24)
+    p.add_argument("--trials-per-speaker", type=int, default=6)
+    p.add_argument("--seconds", type=float, default=3.0)
+    p.add_argument("--base-id", type=int, default=500_000,
+                   help="First calibration speaker id (must exceed every "
+                        "training id so these voices are unseen)")
+    p.add_argument("--out", help="Sidecar path (default: next to the "
+                                 "backend's checkpoint)")
+    args = p.parse_args()
+
+    from sdtk_tpu.backends import get_backend
+    from sdtk_tpu.data.synth import synth_utterance
+
+    backend = get_backend(args.backend)
+
+    def embed(spk: int, utt: int) -> np.ndarray:
+        wav = synth_utterance(args.base_id + spk, utt, args.seconds)
+        return np.asarray(backend.embed_waveform(wav), np.float32)
+
+    n_spk, n_trial = args.speakers, args.trials_per_speaker
+    enroll = np.stack([embed(s, 0) for s in range(n_spk)])
+    trials = np.stack(
+        [embed(s, 1 + t) for s in range(n_spk) for t in range(n_trial)]
+    )
+    trial_spk = np.repeat(np.arange(n_spk), n_trial)
+
+    def unit(x):
+        return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+    sims = unit(trials) @ unit(enroll).T  # (S*T, S)
+    genuine = sims[np.arange(len(trials)), trial_spk]
+    mask = np.ones_like(sims, bool)
+    mask[np.arange(len(trials)), trial_spk] = False
+    impostor = sims[mask]
+
+    eer, t_star = eer_point(genuine, impostor)
+    mu_gen = float(genuine.mean())
+    gain = (0.9 - 0.354) / max(mu_gen - t_star, 1e-3)
+    mu_imp = float(impostor.mean())
+    calib = {
+        "eer_threshold": round(t_star, 4),
+        "gain": round(gain, 4),
+        "calibration_eer": round(eer, 4),
+        "genuine_mean": round(mu_gen, 4),
+        "impostor_mean": round(mu_imp, 4),
+        # Same-speaker cosine bar for cluster-merge speaker counting
+        # (cluster.spectral.merge_count): midway between the measured
+        # same/different-speaker linkage in THIS embedding space, replacing
+        # the hard-coded 0.47 (which assumed the training-family geometry).
+        "suggested_merge_tau": round(0.5 * (mu_gen + mu_imp), 4),
+        "speakers": n_spk,
+        "base_id": args.base_id,
+        "provenance": "training-family voices unseen in training "
+                      "(data/synth.py ids >= base_id); held-out eval family "
+                      "(data/synth_heldout.py) not used",
+    }
+
+    out = args.out
+    if not out:
+        src = getattr(backend.engine, "params_source", None) if hasattr(
+            backend, "engine") else None
+        if not src or src == "random-init":
+            print("no checkpoint to attach a sidecar to; use --out",
+                  file=sys.stderr)
+            return 1
+        out = str(Path(src).with_suffix(".calib.json"))
+    Path(out).write_text(json.dumps(calib, indent=2) + "\n")
+    print(f"wrote {out}", file=sys.stderr)
+    print(json.dumps({"benchmark": "calibration", "backend": args.backend,
+                      **calib}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

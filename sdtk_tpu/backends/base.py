@@ -158,6 +158,18 @@ class LocalEmbeddingBackend(EmbeddingBackend):
     def embed_waveform(self, wav: np.ndarray) -> np.ndarray:
         """float32 mono waveform @ self.sample_rate → (embedding_dim,)."""
 
+    def calibrate_score(self, sims: np.ndarray) -> np.ndarray:
+        """Map raw similarity scores into the reference's threshold space.
+
+        The reference inherits 0.354 as the identify/verify threshold
+        (speaker_detection:1501, base.py:136) from the Speechmatics score
+        space; a local embedding space has its own geometry, so backends
+        may override this with a measured calibration that places their
+        EER operating point at 0.354 (see TpuBackend +
+        evals/calibrate_threshold.py).  Default: identity (raw cosine).
+        """
+        return sims
+
     # -- shared machinery ---------------------------------------------------
 
     def _load(
@@ -213,7 +225,7 @@ class LocalEmbeddingBackend(EmbeddingBackend):
             return []
         wav = self._load(audio_path, segments)
         queries = np.asarray(self.embed_windows(wav), dtype=np.float32)  # (W, D)
-        sims = score_rows(queries, pm.matrix)  # (W, N)
+        sims = self.calibrate_score(score_rows(queries, pm.matrix))  # (W, N)
         best_per_row = sims.max(axis=0)  # (N,) best window per profile row
 
         best: dict[str, tuple[float, str]] = {}

@@ -44,6 +44,17 @@ class TpuBackend(LocalEmbeddingBackend):
         return "tpu"
 
     @property
+    def cluster_merge_tau(self) -> float:
+        """Same-speaker cosine bar for cluster-merge speaker counting —
+        measured per checkpoint by evals/calibrate_threshold.py (midpoint
+        of genuine/impostor linkage in the live embedding space) instead
+        of the class-level 0.47 which bakes in one geometry."""
+        calib = self.engine.calibration
+        if calib and "suggested_merge_tau" in calib:
+            return float(calib["suggested_merge_tau"])
+        return LocalEmbeddingBackend.cluster_merge_tau
+
+    @property
     def embedding_dim(self) -> int:
         return self.engine.emb_dim
 
@@ -65,6 +76,20 @@ class TpuBackend(LocalEmbeddingBackend):
 
     def embed_waveform(self, wav: np.ndarray) -> np.ndarray:
         return self.engine.embed_one(wav)
+
+    def calibrate_score(self, sims: np.ndarray) -> np.ndarray:
+        """Affine calibration fitted on unseen training-family speakers
+        (evals/calibrate_threshold.py): maps the measured EER threshold of
+        the raw cosine space onto the reference's 0.354 operating point,
+        so `identify --threshold 0.354` (the reference default,
+        speaker_detection:1501) keeps its meaning on this backend.  Loaded
+        from the checkpoint's ``.calib.json`` sidecar; identity when the
+        sidecar is absent."""
+        calib = self.engine.calibration
+        if calib is None:
+            return sims
+        mapped = 0.354 + (np.asarray(sims) - calib["eer_threshold"]) * calib["gain"]
+        return np.clip(mapped, 0.0, 1.0)
 
     def embed_windows(self, wav: np.ndarray, window_s: float = WINDOW_SECONDS,
                       hop_s: float = HOP_SECONDS) -> np.ndarray:
@@ -111,6 +136,7 @@ class _EmbedEngine:
             raise ValueError(f"unknown model '{model_name}'")
 
         self.variables = self._init_or_load(params_path, seed)
+        self.calibration = self._load_calibration()
         # Device-resident params passed as a jit ARGUMENT, not a closure:
         # closing over them would bake 25 MB of weights into the compiled
         # program as constants, so every checkpoint swap (or A/B via
@@ -187,6 +213,30 @@ class _EmbedEngine:
             file=sys.stderr,
         )
         return variables
+
+    def _load_calibration(self) -> dict | None:
+        """Score calibration sidecar: ``<checkpoint>.calib.json`` with
+        {"eer_threshold": t*, "gain": g} measured by
+        evals/calibrate_threshold.py on training-family speakers unseen in
+        training (NOT the held-out eval family — that stays untouched as
+        the measurement)."""
+        if self.params_source == "random-init":
+            return None
+        sidecar = Path(self.params_source).with_suffix(".calib.json")
+        if not sidecar.exists():
+            return None
+        import json
+
+        try:
+            calib = json.loads(sidecar.read_text())
+            float(calib["eer_threshold"]), float(calib["gain"])
+            return calib
+        except (ValueError, KeyError, TypeError) as e:
+            import sys
+
+            print(f"Warning: ignoring malformed calibration sidecar "
+                  f"{sidecar}: {e}", file=sys.stderr)
+            return None
 
     def save_params(self, path: str | Path | None = None) -> Path:
         import flax.serialization

@@ -307,15 +307,30 @@ def spectral_cluster(
     return np.asarray(labels, dtype=np.int32), n_speakers
 
 
-def bench_cluster_fn(max_speakers: int = 8):
-    """Jitted fixed-k clustering stage for bench.py (device-only path)."""
-    @jax.jit
-    def run(emb):
-        aff = refine_affinity(cosine_affinity(emb))
-        lap = normalized_laplacian(aff)
+def cluster_stage(emb: jax.Array, max_speakers: int = 8,
+                  use_subspace: bool = False) -> jax.Array:
+    """Traceable fixed-k clustering stage: embeddings → labels.
+
+    Pure function of traced values (no jit wrapper) so callers can fuse it
+    into a larger program — bench.py composes it with the embed tower into
+    ONE dispatch.  ``use_subspace`` swaps the O(N³) dense eigh for the
+    matmul-only subspace iteration, which wins for N ≳ 512.
+    """
+    aff = refine_affinity(cosine_affinity(emb))
+    lap = normalized_laplacian(aff)
+    if use_subspace:
+        _, eigvecs = topk_eigvecs_subspace(lap, max_speakers)
+        spec = eigvecs
+    else:
         _, eigvecs = jnp.linalg.eigh(lap)
         spec = eigvecs[:, :max_speakers]
-        spec = spec / jnp.maximum(jnp.linalg.norm(spec, axis=1, keepdims=True), 1e-12)
-        return kmeans(spec, max_speakers)
+    spec = spec / jnp.maximum(jnp.linalg.norm(spec, axis=1, keepdims=True), 1e-12)
+    return kmeans(spec, max_speakers)
 
-    return run
+
+def bench_cluster_fn(max_speakers: int = 8, use_subspace: bool = False):
+    """Jitted fixed-k clustering stage for bench.py (device-only path)."""
+    return jax.jit(
+        partial(cluster_stage, max_speakers=max_speakers,
+                use_subspace=use_subspace)
+    )

@@ -38,6 +38,7 @@ def train(
     log_every: int = 20,
     noise_prob: float = 0.0,
     noise_snr_db: tuple[float, float] = (5.0, 25.0),
+    aug_prob: float = 0.0,
     log=print,
 ):
     """``crop_seconds`` < ``seconds`` trains on random crops (with random
@@ -148,6 +149,13 @@ def train(
             offs = rng.integers(0, full_len - n_samples + 1, batch)
             wavs = np.stack([w[o : o + n_samples] for w, o in zip(wavs, offs)])
         wavs = wavs * rng.uniform(0.3, 1.2, (batch, 1)).astype(np.float32)
+        if aug_prob > 0:
+            # Prosody/channel augmentation chain (speed, reverb, tilt,
+            # band-limit) — generalization beyond the training generator's
+            # clean channel (r1 held-out EER finding).
+            from .data.augment import AugmentSpec, augment_batch
+
+            wavs = augment_batch(wavs, rng, AugmentSpec.uniform(aug_prob))
         if noise_prob > 0:
             # Additive white noise at a random SNR: content-invariance
             # hardening (same-speaker windows with different phonetic
@@ -216,6 +224,9 @@ def main(argv=None) -> int:
                    help="Per-example probability of additive-noise augmentation")
     p.add_argument("--noise-snr", type=float, nargs=2, default=(5.0, 25.0),
                    metavar=("LO", "HI"), help="SNR range in dB for noise aug")
+    p.add_argument("--aug-prob", type=float, default=0.0,
+                   help="Per-example probability for each channel/prosody "
+                        "augmentation (speed, reverb, tilt, band-limit)")
     args = p.parse_args(argv)
     train(
         steps=args.steps,
@@ -234,6 +245,7 @@ def main(argv=None) -> int:
         ckpt_every=args.ckpt_every,
         noise_prob=args.noise_prob,
         noise_snr_db=tuple(args.noise_snr),
+        aug_prob=args.aug_prob,
         log=lambda msg: print(msg, file=sys.stderr),
     )
     return 0
