@@ -77,6 +77,25 @@ def main() -> int:
     far_ref = float((impostor >= ref_th).mean())
     frr_ref = float((genuine < ref_th).mean())
 
+    # Calibrated operating point: when the backend carries a measured
+    # score calibration (backends/base.py calibrate_score, fitted by
+    # evals/calibrate_threshold.py on training-family speakers), 0.354
+    # is meant to BE the operating threshold — report FAR/FRR of the
+    # calibrated scores at 0.354 so the contract is checked end to end.
+    calibrated = {}
+    if hasattr(backend, "calibrate_score"):
+        cal_gen = np.asarray(backend.calibrate_score(genuine))
+        cal_imp = np.asarray(backend.calibrate_score(impostor))
+        if not np.array_equal(cal_gen, genuine):
+            calibrated = {
+                "calibrated_far_at_reference": round(
+                    float((cal_imp >= ref_th).mean()), 4
+                ),
+                "calibrated_frr_at_reference": round(
+                    float((cal_gen < ref_th).mean()), 4
+                ),
+            }
+
     table = []
     for th in (0.2, 0.3, 0.354, 0.4, 0.5, 0.6, 0.7, round(eer_threshold, 3)):
         table.append(
@@ -105,6 +124,7 @@ def main() -> int:
         "frr_at_reference": round(frr_ref, 4),
         "genuine_mean": round(float(genuine.mean()), 4),
         "impostor_mean": round(float(impostor.mean()), 4),
+        **calibrated,
         "calibration": table,
     }
     print(json.dumps(out))

@@ -53,6 +53,120 @@ def test_lines_output_and_errors():
         query("reduce .[] as $x (0; .+1)", DATA)  # unsupported → explicit error
 
 
+SEGS = [
+    {"start": 1.25, "end": 3.75, "status": "transcribed",
+     "tags": ["podcast", "x"], "trust_level": "low", "speaker_id": "a"},
+    {"start": 4.0, "end": 9.0, "status": "new", "tags": [],
+     "trust_level": "high", "speaker_id": "b"},
+]
+
+
+def test_arithmetic_and_builtin_math():
+    assert query(".[] | .end - .start", SEGS) == [2.5, 5.0]
+    assert query(".[] | .end - .start | floor", SEGS) == [2, 5]
+    assert query("[.[].start] | add", SEGS) == [5.25]
+    assert query(".[0].start * 2", SEGS) == [2.5]
+    assert query("10 % 3", None) == [1]
+    assert query("-.[0].start", SEGS) == [-1.25]
+
+
+def test_string_interpolation():
+    # The reference's documented pattern (speaker_segments.README.md:155).
+    out = query(r'.[] | "[\(.start)s - \(.end)s] dur: \(.end - .start | floor)s"',
+                SEGS)
+    assert out == ["[1.25s - 3.75s] dur: 2s", "[4.0s - 9.0s] dur: 5s"]
+    assert query('"a" + "b"', None) == ["ab"]
+
+
+def test_contains_and_pipe_inside_select():
+    # speaker_detection.README.md:146 pattern.
+    assert query('.[] | select(.tags | contains(["podcast"])) | .speaker_id',
+                 SEGS) == ["a"]
+    assert query('"podcast-hosts" | contains("host")', None) == [True]
+
+
+def test_map_select_chain():
+    # speaker-report.README.md:413 pattern.
+    out = query('map(select(.trust_level != "high")) | map(.speaker_id)', SEGS)
+    assert out == [["a"]]
+
+
+def test_sort_group_unique():
+    assert query("sort_by(.start) | reverse | .[0].speaker_id", SEGS) == ["b"]
+    out = query("group_by(.status) | map({status: .[0].status, count: length})",
+                SEGS)
+    assert out == [[{"status": "new", "count": 1},
+                    {"status": "transcribed", "count": 1}]]
+    assert query("unique", [3, 1, 3, 2]) == [[1, 2, 3]]
+    assert query("unique_by(.trust_level) | length", SEGS) == [2]
+    assert query("min, max", [[3, 1, 2]][0]) == [1, 3]
+
+
+def test_comma_alternative_slices():
+    assert query(".[] | .speaker_id, .status", SEGS) == [
+        "a", "transcribed", "b", "new"]
+    assert query('.[] | .missing // "dflt"', SEGS) == ["dflt", "dflt"]
+    assert query(".[0:1] | length", SEGS) == [1]
+    assert query(".[-1].speaker_id", SEGS) == ["b"]
+    assert query('"abcdef" | .[1:3]', None) == ["bc"]
+
+
+def test_object_shorthand_and_expr_values():
+    out = query(".[] | {speaker_id, s: (.start + 1)}", SEGS)
+    assert out[0] == {"speaker_id": "a", "s": 2.25}
+
+
+def test_reserved_words_as_field_names():
+    # jq allows .end / .and / .not in key position.
+    assert query(".[0].end", SEGS) == [3.75]
+    assert query(".[] | select(.end > 4) | .speaker_id", SEGS) == ["b"]
+
+
+def test_any_all_has_entries():
+    assert query('any(.[]; .status == "new")', SEGS) == [True]
+    assert query('all(.[]; .status == "new")', SEGS) == [False]
+    assert query('.[] | has("tags")', SEGS) == [True, True]
+    assert query("to_entries | from_entries", {"a": 1}) == [{"a": 1}]
+    assert query('{"a": 1} | keys', None) == [["a"]]
+
+
+def test_strings_and_conversions():
+    assert query('"A,B" | split(",") | join("-")', None) == ["A-B"]
+    assert query('"HostX" | ascii_downcase | startswith("host")', None) == [True]
+    assert query(".[0].start | tostring", SEGS) == ["1.25"]
+    assert query('"42" | tonumber', None) == [42]
+    assert query(".[0] | type", SEGS) == ["object"]
+    assert query('"\\u0041"', None) == ["A"]
+
+
+def test_flatten_range_first_last():
+    assert query("flatten", [[1, [2, [3]]]][0] if False else [1, [2, [3]]]) \
+        == [[1, 2, 3]]
+    assert query("[range(3)]", None) == [[0, 1, 2]]
+    assert query("first, last", [[5, 6, 7]][0]) == [5, 7]
+
+
+def test_jq_total_order():
+    # null < false < true < numbers < strings
+    assert query("sort", [["b", 1, None, True, False]][0]) == [
+        [None, False, True, 1, "b"]]
+
+
+def test_unsupported_fails_loudly():
+    for bad in ("reduce .[] as $x (0; .+1)", "if .a then 1 else 2 end",
+                "$var", ".a = 3", ".a |= 3", "def f: .; f", "..",
+                "@base64", "nosuchfn(.)"):
+        with pytest.raises(JqError):
+            query(bad, SEGS)
+
+
+def test_optional_suppresses_type_errors():
+    with pytest.raises(JqError):
+        query(".x[]", {"x": 3})
+    assert query(".x[]?", {"x": 3}) == []
+    assert query(".x?", 3) == []
+
+
 def test_cli_query_wired(speakers_dir, capsys):
     from sdtk_tpu.cli import detection as cli_det
 
