@@ -140,8 +140,8 @@ def train(
 
     rng = np.random.default_rng(seed)
     full_len = int(seconds * SR)
-    t_start = time.time()
-    for step in range(steps):
+
+    def make_batch() -> tuple[np.ndarray, np.ndarray]:
         sids = rng.integers(0, n_speakers, batch)
         uids = rng.integers(0, 1_000_000, batch)
         wavs = synth_batch(sids, uids, seconds)
@@ -169,19 +169,49 @@ def train(
                 wavs = (
                     wavs + sigma * rng.standard_normal(wavs.shape)
                 ).astype(np.float32)
-        feats, mask = featurize(jnp.asarray(wavs))
-        state, metrics = step_fn(state, feats, mask, jnp.asarray(sids))
-        if step % log_every == 0 or step == steps - 1:
-            log(
-                f"step {step:4d}  loss {float(metrics['loss']):7.4f}  "
-                f"acc {float(metrics['acc']):5.3f}  "
-                f"({(time.time() - t_start):6.1f}s)"
-            )
-        if ckpt_dir and ckpt_every and (step + 1) % ckpt_every == 0:
-            from .parallel.checkpoint import save_train_state
+        return wavs, sids
 
-            p = save_train_state(ckpt_dir, state, step=int(state.step))
-            log(f"checkpoint -> {p}")
+    # Host batch synthesis (procedural voices + augmentation) costs far
+    # more than the device step at these sizes, so overlap it: one worker
+    # thread keeps a small queue of ready batches while the chip trains.
+    # Determinism is preserved — `rng` is only touched by the worker, in
+    # order, so the batch sequence matches the serial loop exactly.
+    import queue as _queue
+    import threading
+
+    prefetch: _queue.Queue = _queue.Queue(maxsize=4)
+    stop_flag = threading.Event()
+
+    def _producer():
+        for _ in range(steps):
+            if stop_flag.is_set():
+                return
+            prefetch.put(make_batch())
+
+    producer = threading.Thread(target=_producer, daemon=True)
+    producer.start()
+
+    t_start = time.time()
+    try:
+        for step in range(steps):
+            wavs, sids = prefetch.get()
+            feats, mask = featurize(jnp.asarray(wavs))
+            state, metrics = step_fn(state, feats, mask, jnp.asarray(sids))
+            if step % log_every == 0 or step == steps - 1:
+                log(
+                    f"step {step:4d}  loss {float(metrics['loss']):7.4f}  "
+                    f"acc {float(metrics['acc']):5.3f}  "
+                    f"({(time.time() - t_start):6.1f}s)"
+                )
+            if ckpt_dir and ckpt_every and (step + 1) % ckpt_every == 0:
+                from .parallel.checkpoint import save_train_state
+
+                p = save_train_state(ckpt_dir, state, step=int(state.step))
+                log(f"checkpoint -> {p}")
+    finally:
+        stop_flag.set()
+        while not prefetch.empty():  # unblock a producer stuck on put()
+            prefetch.get_nowait()
 
     # Persist inference variables (params + batch_stats) for TpuBackend.
     import flax.serialization
