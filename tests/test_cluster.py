@@ -332,3 +332,35 @@ def test_overlap_detection(speakers_dir):
     res2 = d.diarize_waveform(wav2 + 0.005 * rng.standard_normal(len(wav2)).astype(np.float32))
     total_overlap = sum(e - s for s, e, _ in res2["overlap_segments"])
     assert total_overlap <= 3.0, res2["overlap_segments"]
+
+
+def test_cluster_stage_fused_parity():
+    """cluster_stage (the fusable bench path) agrees with the reference
+    pipeline for both eigensolvers — same labels up to permutation."""
+    from sdtk_tpu.cluster.spectral import cluster_stage
+
+    emb, true = blob_embeddings(20, 4, seed=3)
+    dense = np.asarray(cluster_stage(emb, max_speakers=4, use_subspace=False))
+    sub = np.asarray(cluster_stage(emb, max_speakers=4, use_subspace=True))
+    assert agreement(dense, true) > 0.95
+    assert agreement(sub, true) > 0.95
+    assert agreement(dense, sub) > 0.95
+
+
+def test_cluster_stage_traceable_under_jit():
+    """cluster_stage must compose into a larger jit program (the fused
+    single-dispatch bench path) without concretization errors."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdtk_tpu.cluster.spectral import cluster_stage
+
+    emb, true = blob_embeddings(16, 2, seed=4)
+
+    @jax.jit
+    def program(x):
+        # a fake "tower": affine transform, then the cluster stage inline
+        return cluster_stage(x * 1.0, max_speakers=2, use_subspace=True)
+
+    labels = np.asarray(program(jnp.asarray(emb)))
+    assert agreement(labels, true) > 0.95
