@@ -56,6 +56,14 @@ def main() -> int:
     p.add_argument("--base-id", type=int, default=500_000,
                    help="First calibration speaker id (must exceed every "
                         "training id so these voices are unseen)")
+    p.add_argument("--augment-prob", type=float, default=0.5,
+                   help="Apply the training augmentation chain (speed/"
+                        "reverb/tilt/band-limit, data/augment.py) to the "
+                        "calibration trials at this per-effect probability "
+                        "— calibrating under the deployment channel "
+                        "distribution instead of the clean generator "
+                        "(whose near-perfect separation yields an over-"
+                        "tight gain).  0 disables.")
     p.add_argument("--out", help="Sidecar path (default: next to the "
                                  "backend's checkpoint)")
     args = p.parse_args()
@@ -65,8 +73,17 @@ def main() -> int:
 
     backend = get_backend(args.backend)
 
+    aug_rng = np.random.default_rng(12345)
+    aug_spec = None
+    if args.augment_prob > 0:
+        from sdtk_tpu.data.augment import AugmentSpec, augment_batch
+
+        aug_spec = AugmentSpec.uniform(args.augment_prob)
+
     def embed(spk: int, utt: int) -> np.ndarray:
         wav = synth_utterance(args.base_id + spk, utt, args.seconds)
+        if aug_spec is not None:
+            wav = augment_batch(wav[None, :], aug_rng, aug_spec)[0]
         return np.asarray(backend.embed_waveform(wav), np.float32)
 
     n_spk, n_trial = args.speakers, args.trials_per_speaker
@@ -102,6 +119,7 @@ def main() -> int:
         "suggested_merge_tau": round(0.5 * (mu_gen + mu_imp), 4),
         "speakers": n_spk,
         "base_id": args.base_id,
+        "augment_prob": args.augment_prob,
         "provenance": "training-family voices unseen in training "
                       "(data/synth.py ids >= base_id); held-out eval family "
                       "(data/synth_heldout.py) not used",
