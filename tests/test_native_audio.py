@@ -177,3 +177,62 @@ def test_process_queue_skips_undecodable_with_reason(tmp_path, speakers_dir,
     (it,) = q.items()
     assert it["status"] == "skipped"
     assert "Layer III" in it["error"]
+
+
+def test_flac_roundtrip_awkward_lengths():
+    """Bit-exact at block-boundary-straddling and degenerate lengths:
+    1 sample, sub-block, exactly-one-block (4096), one-over, prime."""
+    from sdtk_tpu.utils import flacio
+
+    rng = np.random.default_rng(7)
+    for n in (1, 3, 100, 4095, 4096, 4097, 16001):
+        pcm = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        dec, sr, bits = flacio.decode(flacio.encode(pcm, 16000))
+        assert (sr, bits) == (16000, 16)
+        np.testing.assert_array_equal(dec[:, 0], pcm.astype(np.int32), err_msg=f"n={n}")
+
+
+def test_flac_roundtrip_extremes():
+    """Full-scale square, DC, silence, single impulse — all lossless."""
+    from sdtk_tpu.utils import flacio
+
+    cases = {
+        "fullscale": np.tile(np.array([32767, -32768], np.int16), 2000),
+        "dc": np.full(5000, 12345, np.int16),
+        "silence": np.zeros(5000, np.int16),
+        "impulse": np.zeros(5000, np.int16),
+    }
+    cases["impulse"][2500] = 32767
+    for name, pcm in cases.items():
+        dec, _, _ = flacio.decode(flacio.encode(pcm, 16000))
+        np.testing.assert_array_equal(dec[:, 0], pcm.astype(np.int32), err_msg=name)
+
+
+def test_mpeg_layer1_snr_sweep(tmp_path):
+    """Round-trip SNR holds across frequencies and levels (quantization
+    tracks scalefactors, so quiet signals keep proportional fidelity)."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    for freq in (120.0, 440.0, 1500.0, 3000.0):
+        for amp in (0.9, 0.1):
+            sig = (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+            p = tmp_path / f"f{int(freq)}a{amp}.mp3"
+            audio.save_mp3(p, sig, sr)
+            dec, _ = audio.load_audio(p, target_sr=sr)
+            d = 481
+            n = min(len(dec) - d, len(sig))
+            err = np.mean((dec[d : d + n] - sig[:n]) ** 2)
+            snr = 10 * np.log10(np.mean(sig[:n] ** 2) / (err + 1e-20))
+            assert snr > 25.0, (freq, amp, snr)
+
+
+def test_mpeg_layer1_nonmultiple_frame_length(tmp_path):
+    """Lengths that are not a multiple of the 384-sample Layer I frame
+    round-trip without crashing and preserve duration within one frame."""
+    sr = 16000
+    for n in (100, 383, 385, 5000):
+        sig = (0.3 * np.sin(2 * np.pi * 300 * np.arange(n) / sr)).astype(np.float32)
+        p = tmp_path / f"n{n}.mp3"
+        audio.save_mp3(p, sig, sr)
+        dec, _ = audio.load_audio(p, target_sr=sr)
+        assert abs(len(dec) - n) <= 384 + 481
