@@ -154,6 +154,14 @@ class LocalEmbeddingBackend(EmbeddingBackend):
     # override per backend.
     cluster_merge_tau: float = 0.47
 
+    # Scale-free relative merge bar: merge two clusters only when their
+    # cross-linkage reaches this fraction of their own within-linkage
+    # (cluster.spectral.merge_count ``rel``).  Unlike the absolute tau it
+    # transfers across embedding geometries without per-domain tuning —
+    # the r2 held-out study showed a fixed tau collapsing speaker counts
+    # when the eval family's impostor linkage sat above it.
+    cluster_merge_rel: float | None = 0.75
+
     @abstractmethod
     def embed_waveform(self, wav: np.ndarray) -> np.ndarray:
         """float32 mono waveform @ self.sample_rate → (embedding_dim,)."""

@@ -38,16 +38,35 @@ EIGVAL_TAU = 0.65  # Laplacian eigenvalues below τ count as cluster modes
 MERGE_TAU = 0.47
 
 
+# Relative merge rule: merge only when cross-linkage is at least this
+# fraction of the groups' own within-linkage.  Scale-free — transfers
+# across embedding-space geometries (the r2 held-out study showed any
+# FIXED tau is domain-fragile: held-out impostor linkage 0.54 sat above
+# the training-tuned 0.47 bar and collapsed speaker counts).
+MERGE_REL = 0.75
+
+
 def merge_count(
-    emb_unit: np.ndarray, labels: np.ndarray, tau: float = MERGE_TAU
+    emb_unit: np.ndarray, labels: np.ndarray, tau: float = MERGE_TAU,
+    rel: float | None = None,
 ) -> tuple[int, np.ndarray]:
     """Speaker count by over-cluster-then-merge.
 
     Cluster at ``max_speakers`` first, then average-linkage-merge groups
-    whose mean pairwise cosine exceeds ``tau``; the surviving group count
-    is the estimate.  Mean pairwise cosine between two groups of unit
-    vectors equals the dot product of their *unnormalized* mean vectors,
-    so the whole merge is O(K²·D) on K group means — no N×N matrix.
+    whose mean pairwise cosine exceeds the merge bar; the surviving group
+    count is the estimate.  Mean pairwise cosine between two groups of
+    unit vectors equals the dot product of their *unnormalized* mean
+    vectors, so the whole merge is O(K²·D) on K group means — no N×N
+    matrix.
+
+    The merge bar for a pair (i, j) is ``tau`` (absolute), or — when
+    ``rel`` is given — ``max(tau, rel · min(within_i, within_j))`` where
+    ``within_g`` is group g's own mean pairwise cosine (same-speaker
+    groups have between ≈ within so the ratio ≈ 1 and they merge;
+    different speakers sit well below).  The relative form is scale-free:
+    it needs no per-domain tuning of the linkage scale, which a fixed tau
+    bakes in.  Groups too small to measure within-linkage (<2 members)
+    fall back to the absolute bar.
 
     Empirically (synthetic-corpus study, K∈1..5, trained ECAPA-512): the
     eigenvalue-threshold rule (``eigengap_count``) over-counted on 12/20
@@ -61,12 +80,36 @@ def merge_count(
     sizes = np.asarray([(labels == j).sum() for j in uniq], np.float64)
     group_ids = [int(j) for j in uniq]
     remap = {int(j): int(j) for j in uniq}
+
+    def within(idx: int) -> float:
+        """Mean pairwise cosine inside group idx, from its mean vector:
+        n²·||m||² counts all n² unit-pair dots incl. the n self-pairs."""
+        n = sizes[idx]
+        if n < 2:
+            return float("nan")
+        return float((n * n * means[idx] @ means[idx] - n) / (n * (n - 1)))
+
     while len(means) > 1:
         sims = means @ means.T
         np.fill_diagonal(sims, -np.inf)
-        flat = int(np.argmax(sims))
-        i, j = divmod(flat, len(means))
-        if sims[i, j] < tau:
+        # Per-pair merge bars → pick the pair with the best margin over
+        # ITS bar (with relative bars the raw-max pair can fail while
+        # another pair passes).
+        k = len(means)
+        bars = np.full((k, k), tau)
+        if rel is not None:
+            withins = np.asarray([within(g) for g in range(k)])
+            # minimum PROPAGATES NaN: a pair with any unmeasurable side
+            # (singleton group) falls back to the absolute bar — boundary
+            # windows must not be held to the tight within-linkage of the
+            # big group they belong with.
+            w_min = np.minimum(withins[:, None], withins[None, :])
+            bars = np.where(np.isnan(w_min), tau,
+                            np.maximum(tau, rel * w_min))
+        margin = sims - bars
+        flat = int(np.argmax(margin))
+        i, j = divmod(flat, k)
+        if margin[i, j] < 0:
             break
         w = sizes[i] + sizes[j]
         means[i] = (sizes[i] * means[i] + sizes[j] * means[j]) / w
@@ -173,6 +216,7 @@ def topk_eigvecs_subspace(
 def _spectral_cluster_numpy(
     emb: np.ndarray, n_speakers: int | None, max_speakers: int,
     p_percentile: float, merge_tau: float = MERGE_TAU,
+    merge_rel: float | None = None,
 ) -> tuple[np.ndarray, int]:
     """Host-side mirror of the device pipeline for small window counts.
 
@@ -206,7 +250,8 @@ def _spectral_cluster_numpy(
         spec0 = spec0 / np.maximum(
             np.linalg.norm(spec0, axis=1, keepdims=True), 1e-12
         )
-        n_speakers, _ = merge_count(e, _kmeans_np(spec0, kmax), merge_tau)
+        n_speakers, _ = merge_count(e, _kmeans_np(spec0, kmax), merge_tau,
+                                    rel=merge_rel)
     n_speakers = max(1, min(n_speakers, max_speakers))
     if n_speakers == 1:
         return np.zeros(n, dtype=np.int32), 1
@@ -245,14 +290,16 @@ def spectral_cluster(
     use_subspace: bool | None = None,
     force_device: bool = False,
     merge_tau: float = MERGE_TAU,
+    merge_rel: float | None = None,
 ) -> tuple[np.ndarray, int]:
     """Full pipeline: embeddings → labels.
 
     Returns (labels (N,), n_speakers).  ``n_speakers=None`` auto-estimates
     by over-cluster-then-merge (see merge_count); ``merge_tau`` is the
-    same-speaker cosine bar, which depends on the embedding space — the
-    backend advertises its own (``cluster_merge_tau``).  Small inputs take
-    the NumPy path unless ``force_device``.
+    absolute same-speaker cosine bar (backend-advertised,
+    ``cluster_merge_tau``) and ``merge_rel`` the scale-free relative bar
+    (``cluster_merge_rel``; see merge_count).  Small inputs take the
+    NumPy path unless ``force_device``.
     """
     n = int(emb.shape[0])
     if n == 0:
@@ -264,7 +311,7 @@ def spectral_cluster(
     if not force_device and n < 1024 and isinstance(emb, np.ndarray):
         return _spectral_cluster_numpy(
             np.asarray(emb, dtype=np.float32), n_speakers, max_speakers,
-            p_percentile, merge_tau,
+            p_percentile, merge_tau, merge_rel,
         )
 
     emb = jnp.asarray(emb)
@@ -295,7 +342,8 @@ def spectral_cluster(
         e_unit = e_unit / np.maximum(
             np.linalg.norm(e_unit, axis=1, keepdims=True), 1e-12
         )
-        n_speakers, _ = merge_count(e_unit, labels0, merge_tau)
+        n_speakers, _ = merge_count(e_unit, labels0, merge_tau,
+                                    rel=merge_rel)
     n_speakers = max(1, min(n_speakers, max_speakers))
     if n_speakers == 1:
         return np.zeros(n, dtype=np.int32), 1

@@ -162,6 +162,7 @@ class Diarizer:
                     if cfg.merge_tau is not None
                     else getattr(self.backend, "cluster_merge_tau", 0.47)
                 ),
+                merge_rel=getattr(self.backend, "cluster_merge_rel", None),
             )
         if cfg.resegment:
             from ..cluster.resegment import resegment

@@ -42,6 +42,7 @@ class LongformConfig:
     vad_threshold_db: float = -40.0  # on window RMS, relative to loudest
     resegment: bool = True
     merge_tau: float = 0.47  # same-speaker merge bar (cluster.spectral.MERGE_TAU)
+    merge_rel: float | None = 0.75  # scale-free bar (cluster.spectral.MERGE_REL)
 
 
 def _frame_axis0(x, win: int, hop: int):
@@ -231,7 +232,8 @@ class LongformDiarizer:
                 np.linalg.norm(spec0, axis=1, keepdims=True), 1e-12
             )
             labels0 = np.asarray(kmeans(jnp.asarray(spec0), kmax))
-            n_spk, _ = merge_count(emb_kept, labels0, cfg.merge_tau)
+            n_spk, _ = merge_count(emb_kept, labels0, cfg.merge_tau,
+                                   rel=cfg.merge_rel)
         n_spk = max(1, min(n_spk, cfg.max_speakers))
 
         if n_spk == 1:

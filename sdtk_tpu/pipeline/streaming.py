@@ -148,6 +148,7 @@ class OnlineDiarizer:
             labels, k = spectral_cluster(
                 emb, max_speakers=self.cfg.max_speakers,
                 merge_tau=getattr(self.backend, "cluster_merge_tau", 0.47),
+                merge_rel=getattr(self.backend, "cluster_merge_rel", None),
             )
             if k > 1:
                 labels = resegment(emb, labels, k)

@@ -364,3 +364,72 @@ def test_cluster_stage_traceable_under_jit():
 
     labels = np.asarray(program(jnp.asarray(emb)))
     assert agreement(labels, true) > 0.95
+
+
+def _group(center, n, noise, rng, d=32):
+    e = center + noise * rng.standard_normal((n, d))
+    return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+
+def test_merge_rel_keeps_moderate_linkage_apart():
+    """The held-out-collapse scenario: two DISTINCT speakers whose
+    cross-linkage (~0.5) exceeds the fixed tau (0.47) but sits well below
+    their within-linkage — the relative rule keeps them apart where the
+    absolute rule wrongly merged."""
+    from sdtk_tpu.cluster.spectral import merge_count
+
+    rng = np.random.default_rng(0)
+    d = 32
+    base = rng.standard_normal(d)
+    base /= np.linalg.norm(base)
+    other = rng.standard_normal(d)
+    other -= (other @ base) * base
+    other /= np.linalg.norm(other)
+    # cosine(base, mix) ≈ 0.55 — moderately linked distinct speakers
+    # (above the 0.47 fixed bar, far below the ~0.99 within-linkage)
+    mix = 0.55 * base + np.sqrt(1 - 0.55**2) * other
+    emb = np.concatenate([_group(base, 12, 0.05, rng, d),
+                          _group(mix, 12, 0.05, rng, d)])
+    labels = np.array([0] * 12 + [1] * 12)
+
+    k_abs, _ = merge_count(emb, labels, tau=0.47)
+    assert k_abs == 1  # the fixed bar collapses them (the r1 failure mode)
+    k_rel, _ = merge_count(emb, labels, tau=0.47, rel=0.75)
+    assert k_rel == 2  # scale-free bar keeps them apart
+
+
+def test_merge_rel_still_merges_same_speaker_split():
+    """A genuinely split speaker (between ≈ within) must still merge
+    under the relative rule."""
+    from sdtk_tpu.cluster.spectral import merge_count
+
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal(32)
+    base /= np.linalg.norm(base)
+    emb = np.concatenate([_group(base, 10, 0.15, rng),
+                          _group(base, 10, 0.15, rng)])
+    labels = np.array([0] * 10 + [1] * 10)
+    k, merged = merge_count(emb, labels, tau=0.47, rel=0.75)
+    assert k == 1
+    assert len(set(merged)) == 1
+
+
+def test_merge_rel_singleton_falls_back_to_tau():
+    """Groups too small to measure within-linkage use the absolute bar."""
+    from sdtk_tpu.cluster.spectral import merge_count
+
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal(32)
+    base /= np.linalg.norm(base)
+    emb = np.concatenate([_group(base, 1, 0.0, rng),
+                          _group(base, 1, 0.02, rng)])
+    labels = np.array([0, 1])
+    k, _ = merge_count(emb, labels, tau=0.47, rel=0.75)
+    assert k == 1  # cosine ≈ 1 ≥ tau → merge despite unmeasurable within
+
+
+def test_spectral_cluster_merge_rel_plumbed():
+    emb, true = blob_embeddings(20, 3, seed=5)
+    labels, k = spectral_cluster(emb, merge_rel=0.75)
+    assert k == 3
+    assert agreement(labels, true) > 0.95
