@@ -177,7 +177,7 @@ class _EmbedEngine:
             paths.append(Path(override))
         paths += [
             config.model_dir() / name,
-            repo_models / "ecapatdnn-synth256.msgpack"
+            repo_models / "ecapatdnn-synth256-aug.msgpack"
             if self._model_name == "ecapa" and self._channels == 512
             else repo_models / name,
         ]
