@@ -97,17 +97,22 @@ def roofline(argv_extra: dict | None = None) -> dict:
     }
 
     # Longform SP model: 1 h audio, 3 s windows / 0.75 s hop, D=192.
+    # Efficiency = single-chip end-to-end time / (N × per-chip end-to-end
+    # time): BOTH sides include the cluster stage, so the curve is driven
+    # by the communication share alone (the cluster stage shards over rows
+    # just like the embed stage — counting it only in the denominator
+    # would misattribute its constant share as scaling loss).
     sp = []
     w_total = int(3600 / 0.75)
     emb_bytes = w_total * 192 * 4
     audio_s = 3600.0
+    t_compute_1 = audio_s / chip_rate * 2.0  # windows overlap 2x
+    t_cluster_1 = 0.16 * t_compute_1  # measured ~16% of embed at bench shapes
     for n in (2, 4, 8, 16):
-        t_compute = audio_s / chip_rate / n * 2.0  # windows overlap 2x
+        t_compute = t_compute_1 / n
         t_comm = emb_bytes / ici_bw + 4096 * 4 / ici_bw  # all_gather + halos
-        # blocked subspace eigensolve: matmul-dominated, shards over rows;
-        # measured ~16% of the embed step at bench shapes → scale it.
-        t_cluster = 0.16 * t_compute
-        eff = (audio_s / chip_rate * 2.0) / (n * (t_compute + t_comm + t_cluster))
+        t_cluster = t_cluster_1 / n
+        eff = (t_compute_1 + t_cluster_1) / (n * (t_compute + t_comm + t_cluster))
         sp.append({"devices": n, "efficiency_bound": round(min(eff, 1.0), 3)})
 
     return {

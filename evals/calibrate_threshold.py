@@ -37,7 +37,7 @@ def eer_point(genuine: np.ndarray, impostor: np.ndarray) -> tuple[float, float]:
     """Threshold sweep → (eer, threshold at the FAR==FRR crossing)."""
     lo = float(min(genuine.min(), impostor.min()))
     hi = float(max(genuine.max(), impostor.max()))
-    best = (1.0, 0.5 * (lo + hi))
+    best = (1.0, 0.5 * (lo + hi), 0.5)
     for t in np.linspace(lo, hi, 2001):
         far = float((impostor >= t).mean())
         frr = float((genuine < t).mean())

@@ -183,10 +183,15 @@ def train(
     stop_flag = threading.Event()
 
     def _producer():
-        for _ in range(steps):
-            if stop_flag.is_set():
-                return
-            prefetch.put(make_batch())
+        # Any synth/augment failure is shipped through the queue so the
+        # consumer re-raises it instead of blocking forever on get().
+        try:
+            for _ in range(steps):
+                if stop_flag.is_set():
+                    return
+                prefetch.put(make_batch())
+        except BaseException as exc:  # noqa: BLE001 — relayed, not swallowed
+            prefetch.put(exc)
 
     producer = threading.Thread(target=_producer, daemon=True)
     producer.start()
@@ -194,7 +199,10 @@ def train(
     t_start = time.time()
     try:
         for step in range(steps):
-            wavs, sids = prefetch.get()
+            item = prefetch.get()
+            if isinstance(item, BaseException):
+                raise item
+            wavs, sids = item
             feats, mask = featurize(jnp.asarray(wavs))
             state, metrics = step_fn(state, feats, mask, jnp.asarray(sids))
             if step % log_every == 0 or step == steps - 1:

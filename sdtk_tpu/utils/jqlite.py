@@ -562,7 +562,13 @@ def _arith(op: str, a: Any, b: Any) -> Any:
         raise JqError(f"{a} and {b} cannot be divided because the divisor is zero")
     if op == "/":
         return a / b
-    return int(a) % int(b)
+    # jq `%` truncates both operands to ints and uses C remainder
+    # semantics (result takes the dividend's sign); Python's `%` takes
+    # the divisor's sign, and a fractional divisor can truncate to 0.
+    ia, ib = int(a), int(b)
+    if ib == 0:
+        raise JqError(f"{a} and {b} cannot be divided because the divisor is zero")
+    return int(math.fmod(ia, ib))
 
 
 def _to_json(v: Any) -> str:
