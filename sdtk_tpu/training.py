@@ -23,6 +23,7 @@ import numpy as np
 def train(
     steps: int = 300,
     n_speakers: int = 64,
+    families: str = "0",
     batch: int = 32,
     seconds: float = 3.0,
     crop_seconds: float = 1.5,
@@ -44,7 +45,8 @@ def train(
     """``crop_seconds`` < ``seconds`` trains on random crops (with random
     gain), matching the diarizer's window distribution — including
     silence-heavy and mid-utterance crops."""
-    from .data.synth import SR, synth_batch
+    from .data.synth import SR
+    from .data.synth_families import synth_family_batch
     from .models import EcapaConfig, EcapaTdnn
     from .ops import fbank
     from .parallel import make_mesh
@@ -73,8 +75,14 @@ def train(
         model = Conformer(ConformerConfig(dim=min(channels, 256)))
     else:
         raise ValueError(f"unknown model '{model_name}'")
+    # Multi-family corpus (data/synth_families.py): one AAM class per
+    # (family, speaker) pair, so the tower must separate speakers inside
+    # every generator family — family-channel artifacts stop being a
+    # usable identity signal (r2 held-out generalization finding).
+    family_ids = tuple(int(x) for x in str(families).split(",") if x != "")
+    n_classes = n_speakers * len(family_ids)
     tcfg = TrainConfig(
-        n_classes=n_speakers, emb_dim=model.cfg.emb_dim, learning_rate=lr
+        n_classes=n_classes, emb_dim=model.cfg.emb_dim, learning_rate=lr
     )
     mesh = make_mesh(mesh_spec)
 
@@ -142,9 +150,11 @@ def train(
     full_len = int(seconds * SR)
 
     def make_batch() -> tuple[np.ndarray, np.ndarray]:
-        sids = rng.integers(0, n_speakers, batch)
+        cls = rng.integers(0, n_classes, batch)
+        fam_idx, sids = np.divmod(cls, n_speakers)
+        fams = np.asarray([family_ids[i] for i in fam_idx])
         uids = rng.integers(0, 1_000_000, batch)
-        wavs = synth_batch(sids, uids, seconds)
+        wavs = synth_family_batch(fams, sids, uids, seconds)
         if n_samples < full_len:
             offs = rng.integers(0, full_len - n_samples + 1, batch)
             wavs = np.stack([w[o : o + n_samples] for w, o in zip(wavs, offs)])
@@ -169,7 +179,7 @@ def train(
                 wavs = (
                     wavs + sigma * rng.standard_normal(wavs.shape)
                 ).astype(np.float32)
-        return wavs, sids
+        return wavs, cls
 
     # Host batch synthesis (procedural voices + augmentation) costs far
     # more than the device step at these sizes, so overlap it: one worker
@@ -244,7 +254,12 @@ def train(
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sdtk-train", description=__doc__)
     p.add_argument("--steps", type=int, default=300)
-    p.add_argument("--speakers", type=int, default=64)
+    p.add_argument("--speakers", type=int, default=64,
+                   help="Speakers PER FAMILY (classes = speakers × families)")
+    p.add_argument("--families", default="0",
+                   help="Comma list of synthetic family ids to train across "
+                        "(data/synth_families.py; 0 = the original "
+                        "data/synth.py corpus)")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--seconds", type=float, default=3.0)
     p.add_argument("--crop-seconds", type=float, default=1.5)
@@ -269,6 +284,7 @@ def main(argv=None) -> int:
     train(
         steps=args.steps,
         n_speakers=args.speakers,
+        families=args.families,
         batch=args.batch,
         seconds=args.seconds,
         crop_seconds=args.crop_seconds,
