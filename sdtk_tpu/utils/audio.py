@@ -116,19 +116,33 @@ def _decode_flac(path: str | Path) -> tuple[np.ndarray, int]:
 
 
 def _decode_mpeg(path: str | Path) -> tuple[np.ndarray, int]:
-    """First-party MPEG Layer I decode (utils/mpegaudio.py).
+    """MPEG audio decode: first-party codec first (utils/mpegaudio.py),
+    then the in-process system codec (libmpg123 via utils/syscodec.py)
+    for streams outside the first-party scope.
 
-    Layer III files (real-world .mp3) raise AudioFormatError with the
-    codec's explicit unsupported-format message."""
+    Only when BOTH are unable (e.g. a Layer III file on a host without
+    libmpg123) does this raise AudioFormatError with the explicit
+    unsupported-format reason — which speaker-process turns into a
+    skip-with-codec-reason queue entry."""
     from .mpegaudio import UnsupportedFormatError, decode
 
     with open(path, "rb") as f:
         data = f.read()
     try:
         pcm, sr = decode(data)
-    except UnsupportedFormatError as e:
-        raise AudioFormatError(f"{path}: {e}") from e
-    return pcm.astype(np.float32)[:, None], sr
+        return pcm.astype(np.float32)[:, None], sr
+    except UnsupportedFormatError as first_party_err:
+        from . import syscodec
+
+        if syscodec.mpg123_available():
+            try:
+                return syscodec.decode_mpeg(data)
+            except syscodec.SysCodecError as e:
+                raise AudioFormatError(
+                    f"{path}: {first_party_err} (system codec also "
+                    f"failed: {e})"
+                ) from e
+        raise AudioFormatError(f"{path}: {first_party_err}") from first_party_err
 
 
 # extension -> decoder producing (float32 [T, C], sample_rate)
@@ -292,10 +306,24 @@ def save_wav(path: str | Path, x: np.ndarray, sr: int = TARGET_SR) -> None:
 
 def save_mp3(path: str | Path, x: np.ndarray, sr: int = TARGET_SR,
              bitrate_kbps: int = 128) -> None:
-    """Write float32 [-1,1] mono to an MPEG Layer I stream (``.mp3``) —
-    the in-process stand-in for the reference's ffmpeg mp3 sample encode
-    (speaker_samples:280-326).  See utils/mpegaudio.py for scope."""
+    """Write float32 [-1,1] mono as ``.mp3`` — the in-process stand-in for
+    the reference's ffmpeg mp3 sample encode (speaker_samples:280-326).
+
+    Prefers a genuine, universally interoperable MPEG Layer III stream
+    via the in-process system encoder (libmp3lame, utils/syscodec.py);
+    falls back to the first-party MPEG Layer I encoder
+    (utils/mpegaudio.py) when the system library is absent."""
     from .ioutil import atomic_write_bytes
+    from . import syscodec
+
+    if syscodec.lame_available():
+        try:
+            atomic_write_bytes(
+                path, syscodec.encode_mp3(np.asarray(x), sr, bitrate_kbps)
+            )
+            return
+        except syscodec.SysCodecError:
+            pass  # fall through to the first-party encoder
     from .mpegaudio import encode_layer1
 
     atomic_write_bytes(path, encode_layer1(np.asarray(x), sr, bitrate_kbps))

@@ -14,15 +14,17 @@ Scope (honest statement):
   *formulas*: the cosine-modulated 32-band polyphase filterbank
   (analysis modulation ``cos((2i+1)(k-16)pi/64)`` over the newest-first
   512-sample X buffer; synthesis via the V/U/W flowchart with matrixing
-  ``cos((16+k)(2i+1)pi/64)``), ``2.0*2^(-i/3)`` scalefactors, and
-  ``(alloc+1)``-bit linear requantization.  The one piece of the spec
-  that is a numeric table — the 512-tap prototype window — is replaced
-  by a first-party square-root-raised-cosine design (T=64, beta=1),
-  whose Nyquist property gives the power-complementarity the filterbank
-  needs; measured round-trip SNR is ~40 dB (test_native_audio.py).
-- **Layer II/III decode is NOT implemented** (their bit-allocation and
-  Huffman tables are large spec data blobs).  Real-world ``.mp3`` files
-  are Layer III; :func:`decode` raises :class:`UnsupportedFormatError`
+  ``cos((16+k)(2i+1)pi/64)``), ``2.0*2^(-i/3)`` scalefactors, and the
+  ISO ``(2c-(2^nb-2))/(2^nb-1)`` requantization law.  The one numeric
+  table the spec has — the 512-tap filterbank window — was recovered
+  bit-exactly by linear probing of a real ISO decoder (see the
+  provenance note at ``_D_Q16``), so round-trips are interoperable:
+  ~52 dB (quantizer-limited) through BOTH this decoder and libmpg123
+  (tests/test_syscodec.py, tests/test_native_audio.py).
+- **Layer III decode is NOT implemented here** (its Huffman tables are
+  large spec data blobs); real-world ``.mp3`` files decode through the
+  in-process system codec (utils/syscodec.py, libmpg123) when present.
+  Without it, :func:`decode` raises :class:`UnsupportedFormatError`
   with a clear message so callers (``speaker-process`` queue) can skip
   with a reason instead of crashing.
 
@@ -54,45 +56,121 @@ class UnsupportedFormatError(ValueError):
     """Raised for MPEG streams outside the first-party codec's scope."""
 
 
-def _prototype() -> np.ndarray:
-    """512-tap near-perfect-reconstruction prototype window.
+# ------------------------------------------------------------- filterbank
+#
+# 512-tap synthesis window of the ISO polyphase filterbank (the spec's
+# table-B.3 "D[i]" coefficients), expressed in this module's folded
+# V/U/W-flowchart convention and stored as Q16 fixed-point integers.
+#
+# Provenance (recovered, not transcribed): the r2 square-root-raised-
+# cosine prototype self-decoded at ~40 dB but was only ~5 dB
+# interoperable with real ISO decoders — near-perfect-reconstruction
+# alone does not pin the window shape.  These taps were therefore
+# MEASURED from a real decoder (libmpg123, loaded in-process via
+# utils/syscodec.py): crafted Layer I streams with single-subband,
+# single-granule impulses make the decoder emit each subband's synthesis
+# impulse response, and the synthesis flowchart is linear and exactly
+# determined, so the window solves out tap by tap (least squares across
+# all 32 subbands; max model residual 2.5e-6).  The recovered taps
+# snapped onto the 2^-16 grid at float32-noise residual (1.9e-7),
+# i.e. the spec table was recovered bit-exactly.  Taps multiplied by an
+# exactly-zero modulation cosine (j=16 at even r) are unobservable AND
+# unused by the flowchart; they are stored as 0.
+#
+# With this window the encoder's streams decode identically (~52 dB,
+# quantizer-limited) on this module's decoder and on libmpg123
+# (tests/test_syscodec.py), replacing the r2 untested-interop claim.
+_D_Q16 = np.array([
+    0, -1, -1, -1, -1, -1, -1, -2,
+    -2, -2, -2, -3, -3, -4, -4, -5,
+    0, -6, -7, -7, -8, -9, -10, -11,
+    -13, -14, -16, -17, -19, -21, -24, -26,
+    -29, -31, -35, -38, -41, -45, -49, -53,
+    -58, -63, -68, -73, -79, -85, -91, -97,
+    -104, -111, -117, -125, -132, -139, -147, -154,
+    -161, -169, -176, -183, -190, -196, -202, -208,
+    213, 218, 222, 225, 227, 228, 228, 227,
+    224, 221, 215, 208, 200, 189, 177, 163,
+    0, 127, 106, 83, 57, 29, -2, -36,
+    -72, -111, -153, -197, -244, -294, -347, -401,
+    -459, -519, -581, -645, -711, -779, -848, -919,
+    -991, -1064, -1137, -1210, -1283, -1356, -1428, -1498,
+    -1567, -1634, -1698, -1759, -1817, -1870, -1919, -1962,
+    -2001, -2032, -2057, -2075, -2085, -2087, -2080, -2063,
+    2037, 2000, 1952, 1893, 1822, 1739, 1644, 1535,
+    1414, 1280, 1131, 970, 794, 605, 402, 185,
+    0, -288, -545, -814, -1095, -1388, -1692, -2006,
+    -2330, -2663, -3004, -3351, -3705, -4063, -4425, -4788,
+    -5153, -5517, -5879, -6237, -6589, -6935, -7271, -7597,
+    -7910, -8209, -8491, -8755, -8998, -9219, -9416, -9585,
+    -9727, -9838, -9916, -9959, -9966, -9935, -9863, -9750,
+    -9592, -9389, -9139, -8840, -8492, -8092, -7640, -7134,
+    6574, 5959, 5288, 4561, 3776, 2935, 2037, 1082,
+    70, -998, -2122, -3300, -4533, -5818, -7154, -8540,
+    0, -11455, -12980, -14548, -16155, -17799, -19478, -21189,
+    -22929, -24694, -26482, -28289, -30112, -31947, -33791, -35640,
+    -37489, -39336, -41176, -43006, -44821, -46617, -48390, -50137,
+    -51853, -53534, -55178, -56778, -58333, -59838, -61289, -62684,
+    -64019, -65290, -66494, -67629, -68692, -69679, -70590, -71420,
+    -72169, -72835, -73415, -73908, -74313, -74630, -74856, -74992,
+    75038, 74992, 74856, 74630, 74313, 73908, 73415, 72835,
+    72169, 71420, 70590, 69679, 68692, 67629, 66494, 65290,
+    0, 62684, 61289, 59838, 58333, 56778, 55178, 53534,
+    51853, 50137, 48390, 46617, 44821, 43006, 41176, 39336,
+    37489, 35640, 33791, 31947, 30112, 28289, 26482, 24694,
+    22929, 21189, 19478, 17799, 16155, 14548, 12980, 11455,
+    9975, 8540, 7154, 5818, 4533, 3300, 2122, 998,
+    -70, -1082, -2037, -2935, -3776, -4561, -5288, -5959,
+    6574, 7134, 7640, 8092, 8492, 8840, 9139, 9389,
+    9592, 9750, 9863, 9935, 9966, 9959, 9916, 9838,
+    0, 9585, 9416, 9219, 8998, 8755, 8491, 8209,
+    7910, 7597, 7271, 6935, 6589, 6237, 5879, 5517,
+    5153, 4788, 4425, 4063, 3705, 3351, 3004, 2663,
+    2330, 2006, 1692, 1388, 1095, 814, 545, 288,
+    45, -185, -402, -605, -794, -970, -1131, -1280,
+    -1414, -1535, -1644, -1739, -1822, -1893, -1952, -2000,
+    2037, 2063, 2080, 2087, 2085, 2075, 2057, 2032,
+    2001, 1962, 1919, 1870, 1817, 1759, 1698, 1634,
+    0, 1498, 1428, 1356, 1283, 1210, 1137, 1064,
+    991, 919, 848, 779, 711, 645, 581, 519,
+    459, 401, 347, 294, 244, 197, 153, 111,
+    72, 36, 2, -29, -57, -83, -106, -127,
+    -146, -163, -177, -189, -200, -208, -215, -221,
+    -224, -227, -228, -228, -227, -225, -222, -218,
+    213, 208, 202, 196, 190, 183, 176, 169,
+    161, 154, 147, 139, 132, 125, 117, 111,
+    0, 97, 91, 85, 79, 73, 68, 63,
+    58, 53, 49, 45, 41, 38, 35, 31,
+    29, 26, 24, 21, 19, 17, 16, 14,
+    13, 11, 10, 9, 8, 7, 7, 6,
+    5, 5, 4, 4, 3, 3, 2, 2,
+    2, 2, 1, 1, 1, 1, 1, 1,
+], dtype=np.int64)
 
-    Square-root raised cosine, symbol period 64 samples, rolloff 1.0,
-    centred at n = 255.5.  The underlying raised cosine is Nyquist for
-    the filterbank's band spacing, so |P(w)|^2 shifted by pi/32 sums
-    flat — the power-complementarity condition the ISO table window is
-    optimised for.  First-party replacement for ISO table C/D.
-    """
-    tsym, beta = 64.0, 1.0
-    t = (np.arange(_TAPS) - (_TAPS - 1) / 2.0) / tsym
-    num = np.sin(np.pi * t * (1 - beta)) + 4 * beta * t * np.cos(np.pi * t * (1 + beta))
-    den = np.pi * t * (1 - (4 * beta * t) ** 2)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        p = num / den
-    p[np.abs(t) < 1e-12] = 1 - beta + 4 * beta / np.pi
-    sing = np.abs(np.abs(t) - 1 / (4 * beta)) < 1e-12
-    p[sing] = (beta / np.sqrt(2)) * (
-        (1 + 2 / np.pi) * np.sin(np.pi / (4 * beta))
-        + (1 - 2 / np.pi) * np.cos(np.pi / (4 * beta))
-    )
-    return p / p.sum()
-
-
-_PROTO = _prototype()
+_DWIN_RAW = _D_Q16.astype(np.float64) / 65536.0
 _N_IDX = np.arange(_TAPS, dtype=np.float64)
 _I_IDX = np.arange(SUBBANDS, dtype=np.float64)[:, None]
-# Analysis: S[i] = sum_k C[k] X[k] cos((2i+1)(k-16)pi/64), X newest-first.
-_ANALYSIS = _PROTO[None, :] * np.cos(
-    (2 * _I_IDX + 1) * (_N_IDX[None, :] - 16.0) * np.pi / 64.0
-)
-# Synthesis matrixing N[k,i] = cos((16+k)(2i+1)pi/64), k = 0..63.
+# Synthesis matrixing N[k,i] = cos((16+k)(2i+1)pi/64), k = 0..63 (spec
+# formula, not table data).
 _K64 = np.arange(64, dtype=np.float64)[:, None]
 _NMAT = np.cos((16.0 + _K64) * (2 * np.arange(SUBBANDS)[None, :] + 1) * np.pi / 64.0)
-# Synthesis window D: prototype with the ISO 64-periodic sign structure
-# (C[n] = p[n]*(-1)^(n//64) makes the folded matrixing equal the direct
-# cosine modulation — same identity on the synthesis side).
-_DSIGN = (-1.0) ** (_N_IDX // 64)
-_DWIN_RAW = _PROTO * _DSIGN
+# The decoder below reproduces libmpg123's output exactly with unit gain.
+_SYN_GAIN = 1.0
+
+# Analysis bank: the matched (time-reversed) filters of the synthesis
+# bank — the standard analysis/synthesis relationship for an (almost)
+# paraunitary filterbank, so no separate analysis table is needed.
+# F[band, 32r+j] = D[j+32r] * N[sel(r,j), band], sel = j (even r) or
+# 32+j (odd r); the analysis matrix is F reversed in time, scaled below
+# to unit passband gain + unit full-chain gain (ISO level convention, so
+# streams from this encoder play at correct level everywhere).
+_F = np.zeros((SUBBANDS, _TAPS))
+for _r in range(16):
+    _sel = slice(0, 32) if _r % 2 == 0 else slice(32, 64)
+    _F[:, 32 * _r : 32 * _r + 32] = (
+        _DWIN_RAW[32 * _r : 32 * _r + 32][None, :] * _NMAT[_sel, :].T
+    )
+_ANALYSIS = _F[:, ::-1].copy()
 
 
 def _analyze(pcm: np.ndarray) -> np.ndarray:
@@ -120,23 +198,34 @@ def _synthesize(sb: np.ndarray) -> np.ndarray:
     return (out * _SYN_GAIN).reshape(-1)
 
 
-def _calibrate() -> float:
+def _analysis_passband_gain() -> float:
+    """Measured per-subband passband gain of the analysis bank (tone at
+    the centre of subband 3) — the ISO convention is unit passband gain
+    (full-scale input -> full-scale subband samples, the 2.0 max
+    scalefactor giving 6 dB headroom)."""
+    sr = 6400
+    tone = np.sin(2 * np.pi * (3 + 0.5) / 64.0 * np.arange(sr))
+    pad = np.concatenate([tone, np.zeros((-sr) % SUBBANDS)])
+    sb = _analyze(pad)
+    return float(np.abs(sb[:, 3]).max())
+
+
+def _chain_gain() -> float:
     """Unit-gain calibration: measured analysis->synthesis passband gain
-    for the matched pair above (folds the ISO 32x scaling and the SRRC
-    normalisation into one constant).  Deterministic; computed once."""
-    global _SYN_GAIN
-    _SYN_GAIN = 1.0
+    correction for the full chain.  Deterministic; computed once."""
     fs = 6400
     n = np.arange(fs, dtype=np.float64)
     x = np.sin(2 * np.pi * 0.011 * n)  # in-band test tone
     y = _synthesize(_analyze(x))
     d = 481  # ISO filterbank delay
-    a = float(np.dot(y[d:], x[: len(y) - d]) / np.dot(y[d:], y[d:]))
-    return a
+    return float(np.dot(y[d:], x[: len(y) - d]) / np.dot(y[d:], y[d:]))
 
 
-_SYN_GAIN = 1.0
-_SYN_GAIN = _calibrate()
+# Fold all level calibration into the ANALYSIS side: the synthesis side
+# must stay bit-compatible with ISO decoders (gain exactly 1), so the
+# encoder normalises instead.
+_ANALYSIS /= _analysis_passband_gain()
+_ANALYSIS *= _chain_gain()
 
 
 class _BitWriter:
@@ -286,10 +375,14 @@ def encode_layer1(
         sf = _SCALEFACTORS[scf_idx]
         for g in range(GRANULES):
             for b in active:
-                levels = (1 << int(nb[b])) - 1
+                # ISO Layer I dequant is s = (2c - (2^nb - 2)) / (2^nb - 1)
+                # (verified against libmpg123's measured mapping); invert
+                # it for the nearest code.
+                bits = int(nb[b])
+                levels = (1 << bits) - 1
                 sn = frame[g, b] / sf[b]
-                code = int(np.floor((sn + 1.0) * 0.5 * levels + 0.5))
-                w.write(max(0, min(levels, code)), int(nb[b]))
+                code = int(np.floor((sn * levels + levels - 1) * 0.5 + 0.5))
+                w.write(max(0, min(levels, code)), bits)
         out.extend(w.pad_to(frame_bytes))
     return bytes(out)
 
@@ -367,7 +460,8 @@ def decode(data: bytes) -> tuple[np.ndarray, int]:
                     if nb:
                         levels = (1 << nb) - 1
                         code = r.read(nb)
-                        sn = (2.0 * code / levels) - 1.0
+                        # ISO requantization (same mapping libmpg123 uses)
+                        sn = (2.0 * code - (levels - 1)) / levels
                         acc += sn * _SCALEFACTORS[min(62, int(scf[ch, b]))]
                 sbf[g, b] = acc / nch
         sb_frames.append(sbf)
