@@ -324,9 +324,9 @@ def save_mp3(path: str | Path, x: np.ndarray, sr: int = TARGET_SR,
             return
         except syscodec.SysCodecError:
             pass  # fall through to the first-party encoder
-    from .mpegaudio import encode_layer1
+    from .mpegaudio import encode_layer2
 
-    atomic_write_bytes(path, encode_layer1(np.asarray(x), sr, bitrate_kbps))
+    atomic_write_bytes(path, encode_layer2(np.asarray(x), sr, bitrate_kbps))
 
 
 def save_flac(path: str | Path, x: np.ndarray, sr: int = TARGET_SR) -> None:

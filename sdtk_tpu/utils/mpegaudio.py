@@ -21,6 +21,16 @@ Scope (honest statement):
   provenance note at ``_D_Q16``), so round-trips are interoperable:
   ~52 dB (quantizer-limited) through BOTH this decoder and libmpg123
   (tests/test_syscodec.py, tests/test_native_audio.py).
+- **Layer II** (encode + decode) shares the same filterbank and adds
+  the 1152-sample frame layout: per-subband quantizer classes from the
+  five allocation tables (A/B for MPEG-1 mid/high rates, C/D for low
+  rates, one LSF table for MPEG-2), scfsi scalefactor sharing on the
+  decode side, grouped 3/5/9-step triplet codes.  The tables were
+  written from the spec's structure and then verified — and where the
+  first writing was wrong, RECOVERED — against libmpg123 probe frames;
+  the shipped decoder now agrees with libmpg123 to ~135 dB (bit-exact
+  float32) on every (rate, bitrate) combination
+  (tests/test_syscodec.py).
 - **Layer III decode is NOT implemented here** (its Huffman tables are
   large spec data blobs); real-world ``.mp3`` files decode through the
   in-process system codec (utils/syscodec.py, libmpg123) when present.
@@ -45,6 +55,8 @@ _TAPS = 512
 # Header enumerations (spec header fields, not DSP data tables).
 _BITRATES_V1_L1 = [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448]
 _BITRATES_V2_L1 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256]
+_BITRATES_V1_L2 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384]
+_BITRATES_V2_L2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
 _RATES_V1 = [44100, 48000, 32000]
 _RATES_V2 = [22050, 24000, 16000]
 
@@ -308,6 +320,210 @@ def _allocate_bits(scf_idx: np.ndarray, budget: int) -> np.ndarray:
             return nb
 
 
+# ---------------------------------------------------------------- Layer II
+#
+# Layer II codes the same 32 subbands in 1152-sample frames (36 granule
+# rows = 12 triplets), with per-subband quantizer classes drawn from a
+# bit-allocation table selected by (version, sample rate, bitrate): the
+# MPEG-2 LSF table (sblimit 30) or the MPEG-1 tables B.2a–d.  The class
+# structure, grouping widths, nbal layout, and the requantization law
+# s = (2c - (steps-1))/steps were each verified against libmpg123 with
+# crafted single-subband probe frames (the same oracle discipline as the
+# filterbank window above) — any table error shows up as bitstream
+# misalignment in tests/test_syscodec.py's cross-decoder SNR sweep.
+
+# steps -> (grouped?, bits): grouped classes pack a triplet into one code
+# c = s0 + steps*s1 + steps^2*s2.
+_L2_CLASS: dict[int, tuple[bool, int]] = {
+    3: (True, 5), 5: (True, 7), 7: (False, 3), 9: (True, 10),
+    15: (False, 4), 31: (False, 5), 63: (False, 6), 127: (False, 7),
+    255: (False, 8), 511: (False, 9), 1023: (False, 10), 2047: (False, 11),
+    4095: (False, 12), 8191: (False, 13), 16383: (False, 14),
+    32767: (False, 15), 65535: (False, 16),
+}
+
+_L2_STEPS_HI = [3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+                16383, 65535]
+_L2_STEPS_MID = [3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                 65535]
+_L2_STEPS_LOW = [3, 5, 7, 9, 15, 31, 65535]
+_L2_STEPS_TINY = [3, 5, 65535]
+_L2_STEPS_CD_HI = [3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                   8191, 16383, 32767]
+_L2_STEPS_CD_LO = [3, 5, 9, 15, 31, 63, 127]
+_L2_LSF_HI = [3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+              16383]
+_L2_LSF_MID = [3, 5, 9, 15, 31, 63, 127]
+_L2_LSF_TINY = [3, 5, 9]
+
+# Allocation tables: one steps-list per subband (alloc code 0 = silent;
+# code k selects steps_list[k-1]); nbal per subband = bit width of the
+# max code = len(list).bit_length().  Tables A/B were written from the
+# spec's structure and verified bit-exact against libmpg123; the C/D and
+# LSF rows were RECOVERED from libmpg123 with two-subband probe frames
+# (a misremembered row shows up as total-misalignment, so the recovery
+# is self-checking): C/D are sblimit 8/12 with nbal [4,4,3...] — not the
+# nbal-4-everywhere shape one might guess — and the LSF mid/low rows
+# carry 9 (grouped) where a first guess had 7.
+_L2_TABLE_A = [_L2_STEPS_HI] * 3 + [_L2_STEPS_MID] * 8 + \
+    [_L2_STEPS_LOW] * 12 + [_L2_STEPS_TINY] * 4  # B.2a, sblimit 27
+_L2_TABLE_B = [_L2_STEPS_HI] * 3 + [_L2_STEPS_MID] * 8 + \
+    [_L2_STEPS_LOW] * 12 + [_L2_STEPS_TINY] * 7  # B.2b, sblimit 30
+_L2_TABLE_C = [_L2_STEPS_CD_HI] * 2 + [_L2_STEPS_CD_LO] * 6  # sblimit 8
+_L2_TABLE_D = [_L2_STEPS_CD_HI] * 2 + [_L2_STEPS_CD_LO] * 10  # sblimit 12
+_L2_TABLE_LSF = [_L2_LSF_HI] * 4 + [_L2_LSF_MID] * 7 + \
+    [_L2_LSF_TINY] * 19  # 13818-3 LSF table, sblimit 30
+
+
+def _l2_nbal(steps_list: list[int]) -> int:
+    # bits to hold the max alloc code (= len of the list; 0 means silent)
+    return int(len(steps_list)).bit_length()
+
+
+def _l2_table(version_bits: int, sample_rate: int,
+              bitrate_kbps: int, nch: int) -> list[list[int]]:
+    """Bit-allocation table selection (ISO 11172-3 2-B.2 / 13818-3)."""
+    if version_bits == 2:  # MPEG-2 LSF: single table
+        return _L2_TABLE_LSF
+    bpc = bitrate_kbps // nch
+    if bpc <= 48:
+        return _L2_TABLE_D if sample_rate == 32000 else _L2_TABLE_C
+    if bpc <= 80:
+        return _L2_TABLE_A
+    return _L2_TABLE_A if sample_rate == 48000 else _L2_TABLE_B
+
+
+def _l2_quantize(w: "_BitWriter", triplet: np.ndarray, steps: int) -> None:
+    grouped, bits = _L2_CLASS[steps]
+    codes = []
+    for s in triplet:
+        c = int(np.floor((s * steps + steps - 1) * 0.5 + 0.5))
+        codes.append(max(0, min(steps - 1, c)))
+    if grouped:
+        w.write(codes[0] + steps * codes[1] + steps * steps * codes[2], bits)
+    else:
+        for c in codes:
+            w.write(c, bits)
+
+
+def encode_layer2(
+    pcm: np.ndarray, sample_rate: int = 16000, bitrate_kbps: int = 64
+) -> bytes:
+    """Encode float/int16 mono PCM to an MPEG Layer II stream.
+
+    Layer II reaches transparent quality at roughly half Layer I's
+    bitrate (1152-sample frames, grouped quantizers, per-part
+    scalefactors); used for ``.mp2`` output and as the second
+    first-party MPEG layer.  scfsi=0 (3 scalefactors per subband) keeps
+    the encoder simple at a small bitrate cost.
+    """
+    pcm = np.asarray(pcm)
+    if pcm.ndim == 2:
+        pcm = pcm.mean(axis=1)
+    pcm = (pcm.astype(np.float64) / 32768.0 if pcm.dtype.kind in "iu"
+           else pcm.astype(np.float64))
+    version_bits, sr_idx, _ = _rate_indices(sample_rate)
+    table = _BITRATES_V1_L2 if version_bits == 3 else _BITRATES_V2_L2
+    if bitrate_kbps not in table[1:]:
+        bitrate_kbps = min(table[1:], key=lambda b: abs(b - bitrate_kbps))
+    br_idx = table.index(bitrate_kbps)
+    alloc_table = _l2_table(version_bits, sample_rate, bitrate_kbps, 1)
+    sblimit = len(alloc_table)
+    nbals = [_l2_nbal(s) for s in alloc_table]
+
+    samples_per_frame = SUBBANDS * 36
+    pad = (-len(pcm)) % samples_per_frame
+    if pad:
+        pcm = np.concatenate([pcm, np.zeros(pad)])
+    frames = _analyze(pcm).reshape(-1, 36, SUBBANDS)
+
+    bytes_exact = 144 * bitrate_kbps * 1000 / sample_rate
+    out = bytearray()
+    frac = 0.0
+    for frame in frames:
+        nbytes = int(bytes_exact)
+        frac += bytes_exact - nbytes
+        padding = 0
+        if frac >= 1.0:
+            padding, frac = 1, frac - 1.0
+        frame_bytes = nbytes + padding
+
+        # per-part (3 x 12 samples) scalefactors
+        part_max = np.abs(frame.reshape(3, 12, SUBBANDS)).max(axis=1)  # (3, SB)
+        scf_idx = np.clip(
+            np.searchsorted(-_SCALEFACTORS, -part_max, side="right") - 1, 0, 62
+        )
+        band_amp = _SCALEFACTORS[scf_idx].max(axis=0)  # (SB,)
+
+        # greedy allocation over table classes: first grant costs scfsi
+        # (2) + 3 scalefactors (18) + sample bits; upgrades cost the
+        # sample-bit delta.
+        budget = frame_bytes * 8 - 32 - sum(nbals)
+        level = [0] * sblimit
+
+        def _sample_bits(sb: int, lv: int) -> int:
+            if lv == 0:
+                return 0
+            grouped, bits = _L2_CLASS[alloc_table[sb][lv - 1]]
+            return 12 * bits if grouped else 36 * bits
+
+        noise = band_amp[:sblimit].copy()
+        while True:
+            granted = False
+            for sb in np.argsort(-noise):
+                if noise[sb] <= 1e-12:
+                    break
+                lv = level[sb]
+                if lv >= len(alloc_table[sb]):
+                    continue
+                cost = _sample_bits(sb, lv + 1) - _sample_bits(sb, lv)
+                if lv == 0:
+                    cost += 2 + 18
+                if cost <= budget:
+                    level[sb] = lv + 1
+                    steps = alloc_table[sb][lv]
+                    noise[sb] = band_amp[sb] / steps
+                    budget -= cost
+                    granted = True
+                    break
+            if not granted:
+                break
+
+        w = _BitWriter()
+        w.write(0x7FF, 11)
+        w.write(version_bits, 2)
+        w.write(0b10, 2)  # Layer II
+        w.write(1, 1)  # no CRC
+        w.write(br_idx, 4)
+        w.write(sr_idx, 2)
+        w.write(padding, 1)
+        w.write(0, 1)
+        w.write(0b11, 2)  # mono
+        w.write(0, 2)
+        w.write(0, 1)
+        w.write(1, 1)
+        w.write(0, 2)
+        for sb in range(sblimit):
+            w.write(level[sb], nbals[sb])
+        for sb in range(sblimit):
+            if level[sb]:
+                w.write(0, 2)  # scfsi = 0: three scalefactors
+        for sb in range(sblimit):
+            if level[sb]:
+                for p in range(3):
+                    w.write(int(scf_idx[p, sb]), 6)
+        sf = _SCALEFACTORS[scf_idx]  # (3, SB)
+        for tri in range(12):
+            part = tri // 4
+            for sb in range(sblimit):
+                if level[sb]:
+                    steps = alloc_table[sb][level[sb] - 1]
+                    triplet = frame[3 * tri : 3 * tri + 3, sb] / sf[part, sb]
+                    _l2_quantize(w, triplet, steps)
+        out.extend(w.pad_to(frame_bytes))
+    return bytes(out)
+
+
 def encode_layer1(
     pcm: np.ndarray, sample_rate: int = 16000, bitrate_kbps: int = 128
 ) -> bytes:
@@ -387,11 +603,102 @@ def encode_layer1(
     return bytes(out)
 
 
-def decode(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode an MPEG Layer I stream -> (float64 mono PCM in [-1,1], rate).
+def _decode_body_layer1(r: "_BitReader", nch: int) -> np.ndarray:
+    """Layer I frame body -> mono-mixed subband samples (12, 32)."""
+    alloc = np.zeros((nch, SUBBANDS), dtype=np.int64)
+    for b in range(SUBBANDS):
+        for ch in range(nch):
+            code = r.read(4)
+            alloc[ch, b] = code + 1 if code else 0
+    scf = np.zeros((nch, SUBBANDS), dtype=np.int64)
+    for b in range(SUBBANDS):
+        for ch in range(nch):
+            if alloc[ch, b]:
+                scf[ch, b] = r.read(6)
+    sbf = np.zeros((GRANULES, SUBBANDS), dtype=np.float64)
+    for g in range(GRANULES):
+        for b in range(SUBBANDS):
+            acc = 0.0
+            for ch in range(nch):
+                nb = int(alloc[ch, b])
+                if nb:
+                    levels = (1 << nb) - 1
+                    code = r.read(nb)
+                    # ISO requantization (same mapping libmpg123 uses)
+                    sn = (2.0 * code - (levels - 1)) / levels
+                    acc += sn * _SCALEFACTORS[min(62, int(scf[ch, b]))]
+            sbf[g, b] = acc / nch
+    return sbf
 
-    Layer II/III streams raise UnsupportedFormatError with an explicit
-    reason (see module docstring).
+
+def _decode_body_layer2(
+    r: "_BitReader", nch: int, version_bits: int, rate: int, bitrate_kbps: int
+) -> np.ndarray:
+    """Layer II frame body -> mono-mixed subband samples (36, 32)."""
+    alloc_table = _l2_table(version_bits, rate, bitrate_kbps, nch)
+    sblimit = len(alloc_table)
+    steps_sel = np.zeros((nch, sblimit), dtype=np.int64)
+    for sb in range(sblimit):
+        nbal = _l2_nbal(alloc_table[sb])
+        for ch in range(nch):
+            code = r.read(nbal)
+            if code > len(alloc_table[sb]):
+                raise UnsupportedFormatError(
+                    f"invalid Layer II allocation code {code} in subband {sb}"
+                )
+            steps_sel[ch, sb] = alloc_table[sb][code - 1] if code else 0
+    scfsi = np.zeros((nch, sblimit), dtype=np.int64)
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if steps_sel[ch, sb]:
+                scfsi[ch, sb] = r.read(2)
+    # scalefactors per part under the scfsi sharing patterns
+    scf = np.zeros((nch, sblimit, 3), dtype=np.int64)
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if not steps_sel[ch, sb]:
+                continue
+            si = int(scfsi[ch, sb])
+            if si == 0:
+                vals = [r.read(6) for _ in range(3)]
+            elif si == 1:
+                a, b = r.read(6), r.read(6)
+                vals = [a, a, b]
+            elif si == 2:
+                a = r.read(6)
+                vals = [a, a, a]
+            else:
+                a, b = r.read(6), r.read(6)
+                vals = [a, b, b]
+            scf[ch, sb] = vals
+    sbf = np.zeros((36, SUBBANDS), dtype=np.float64)
+    for tri in range(12):
+        part = tri // 4
+        for sb in range(sblimit):
+            for ch in range(nch):
+                steps = int(steps_sel[ch, sb])
+                if not steps:
+                    continue
+                grouped, bits = _L2_CLASS[steps]
+                if grouped:
+                    c = r.read(bits)
+                    codes = (c % steps, (c // steps) % steps,
+                             (c // (steps * steps)) % steps)
+                else:
+                    codes = (r.read(bits), r.read(bits), r.read(bits))
+                amp = _SCALEFACTORS[min(62, int(scf[ch, sb, part]))]
+                for k in range(3):
+                    sn = (2.0 * codes[k] - (steps - 1)) / steps
+                    sbf[3 * tri + k, sb] += sn * amp / nch
+    return sbf
+
+
+def decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an MPEG Layer I/II stream -> (float64 mono PCM, rate).
+
+    Layer III streams raise UnsupportedFormatError with an explicit
+    reason (the system codec in utils/syscodec.py handles them when
+    libmpg123 is present; see module docstring).
     """
     pos = 0
     if data[:3] == b"ID3" and len(data) > 10:
@@ -411,62 +718,57 @@ def decode(data: bytes) -> tuple[np.ndarray, int]:
         b1, b2 = data[pos + 1], data[pos + 2]
         version_bits = (b1 >> 3) & 0x3
         layer_bits = (b1 >> 1) & 0x3
-        if layer_bits != 0b11:
-            name = {0b01: "III", 0b10: "II"}.get(layer_bits, "reserved")
+        if layer_bits == 0b01:
             raise UnsupportedFormatError(
-                f"MPEG Layer {name} stream: only Layer I is supported by the "
-                "first-party codec (Layer III needs the spec's Huffman tables; "
-                "transcode to WAV/FLAC or MPEG Layer I)"
+                "MPEG Layer III stream: the first-party codec decodes "
+                "Layers I/II (Layer III needs the spec's Huffman tables); "
+                "install libmpg123 for in-process Layer III decode, or "
+                "transcode to WAV/FLAC"
             )
+        if layer_bits == 0b00:
+            raise UnsupportedFormatError("reserved MPEG layer in header")
+        layer2 = layer_bits == 0b10
         br_idx = (b2 >> 4) & 0xF
         sr_idx = (b2 >> 2) & 0x3
         padding = (b2 >> 1) & 0x1
         mode = (data[pos + 3] >> 6) & 0x3
         if version_bits == 3:
-            rate, table = _RATES_V1[sr_idx] if sr_idx < 3 else 0, _BITRATES_V1_L1
+            rate = _RATES_V1[sr_idx] if sr_idx < 3 else 0
+            table = _BITRATES_V1_L2 if layer2 else _BITRATES_V1_L1
         elif version_bits == 2:
-            rate, table = _RATES_V2[sr_idx] if sr_idx < 3 else 0, _BITRATES_V2_L1
+            rate = _RATES_V2[sr_idx] if sr_idx < 3 else 0
+            table = _BITRATES_V2_L2 if layer2 else _BITRATES_V2_L1
         else:
             raise UnsupportedFormatError("MPEG version 2.5 not supported")
         if br_idx in (0, 15) or sr_idx == 3:
             raise UnsupportedFormatError("free-format/invalid MPEG header")
         sample_rate = rate
         bitrate = table[br_idx] * 1000
-        frame_bytes = (12 * bitrate // rate + padding) * 4
+        if layer2:
+            frame_bytes = 144 * bitrate // rate + padding
+        else:
+            frame_bytes = (12 * bitrate // rate + padding) * 4
         frame = data[pos : pos + frame_bytes]
         if len(frame) < frame_bytes:
             break
+        if layer2 and mode == 0b01:
+            raise UnsupportedFormatError(
+                "Layer II joint (intensity) stereo not supported by the "
+                "first-party codec; install libmpg123"
+            )
         nch = 1 if mode == 0b11 else 2
         r = _BitReader(frame)
         r.read(32)
         if not (b1 & 1):  # protection bit 0 -> CRC present
             r.read(16)
-        alloc = np.zeros((nch, SUBBANDS), dtype=np.int64)
-        for b in range(SUBBANDS):
-            for ch in range(nch):
-                code = r.read(4)
-                alloc[ch, b] = code + 1 if code else 0
-        scf = np.zeros((nch, SUBBANDS), dtype=np.int64)
-        for b in range(SUBBANDS):
-            for ch in range(nch):
-                if alloc[ch, b]:
-                    scf[ch, b] = r.read(6)
-        sbf = np.zeros((GRANULES, SUBBANDS), dtype=np.float64)
-        for g in range(GRANULES):
-            for b in range(SUBBANDS):
-                acc = 0.0
-                for ch in range(nch):
-                    nb = int(alloc[ch, b])
-                    if nb:
-                        levels = (1 << nb) - 1
-                        code = r.read(nb)
-                        # ISO requantization (same mapping libmpg123 uses)
-                        sn = (2.0 * code - (levels - 1)) / levels
-                        acc += sn * _SCALEFACTORS[min(62, int(scf[ch, b]))]
-                sbf[g, b] = acc / nch
-        sb_frames.append(sbf)
+        if layer2:
+            sb_frames.append(
+                _decode_body_layer2(r, nch, version_bits, rate, table[br_idx])
+            )
+        else:
+            sb_frames.append(_decode_body_layer1(r, nch))
         pos += frame_bytes
     if not sb_frames or not sample_rate:
-        raise UnsupportedFormatError("no MPEG Layer I frames found")
+        raise UnsupportedFormatError("no MPEG Layer I/II frames found")
     pcm = _synthesize(np.concatenate(sb_frames, axis=0))
     return np.clip(pcm, -1.0, 1.0), sample_rate

@@ -244,3 +244,32 @@ def test_mpeg_layer1_nonmultiple_frame_length():
         sig = (0.3 * np.sin(2 * np.pi * 300 * np.arange(n) / sr)).astype(np.float32)
         dec, _ = mpegaudio.decode(mpegaudio.encode_layer1(sig, sr, 128))
         assert abs(len(dec) - n) <= 384 + 481
+
+
+def test_mpeg_layer2_roundtrip_snr():
+    """First-party Layer II encode → decode at 64 kbps/16 kHz keeps a
+    voice-band multitone above 25 dB (Layer II reaches Layer I quality
+    at roughly half the bitrate)."""
+    from sdtk_tpu.utils import mpegaudio
+
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    sig = (
+        0.35 * np.sin(2 * np.pi * 220 * t)
+        + 0.2 * np.sin(2 * np.pi * 700 * t + 1.0)
+    ) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+    sig = sig.astype(np.float32)
+    dec, got_sr = mpegaudio.decode(mpegaudio.encode_layer2(sig, sr, 64))
+    assert got_sr == sr
+    assert _layer1_snr(sig, dec) > 25.0
+
+
+def test_mpeg_layer2_nonmultiple_frame_length():
+    """Non-multiple-of-1152 lengths round-trip without crashing."""
+    from sdtk_tpu.utils import mpegaudio
+
+    sr = 16000
+    for n in (100, 1151, 1153, 5000):
+        sig = (0.3 * np.sin(2 * np.pi * 300 * np.arange(n) / sr)).astype(np.float32)
+        dec, _ = mpegaudio.decode(mpegaudio.encode_layer2(sig, sr, 64))
+        assert abs(len(dec) - n) <= 1152 + 481
