@@ -56,7 +56,14 @@ class SpeechmaticsBackend(EmbeddingBackend):
         key = os.environ.get("SPEECHMATICS_API_KEY")
         if not key:
             raise RuntimeError("SPEECHMATICS_API_KEY not set")
-        base = f"https://{self._region}.asr.api.speechmatics.com/{API_VERSION}"
+        # $SPEECHMATICS_API_URL overrides the cloud endpoint — the local
+        # mockserver tier the reference sketches but never built
+        # (/root/reference/evals/TESTING.md:336-343); used by
+        # tests/test_speechmatics_mock.py to drive the full job
+        # create/poll/fetch lifecycle with zero egress.
+        base = os.environ.get("SPEECHMATICS_API_URL") or (
+            f"https://{self._region}.asr.api.speechmatics.com/{API_VERSION}"
+        )
         return requests, base, {"Authorization": f"Bearer {key}"}
 
     def _submit_and_fetch(self, audio_path: Path, job_config: dict[str, Any]) -> dict[str, Any]:

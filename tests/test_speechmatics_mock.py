@@ -1,0 +1,218 @@
+"""Speechmatics cloud-parity backend against a localhost mock server.
+
+The reference sketches (but never built) a mockserver tier for its cloud
+backend (/root/reference/evals/TESTING.md:336-343); this is that tier:
+an ``http.server`` fixture implements the batch-job API surface the
+backend speaks — multipart job create, 3 s poll loop, transcript fetch,
+rejection and timeout paths — so the full HTTP lifecycle
+(backends/speechmatics.py) executes with zero egress.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+pytest.importorskip("requests")
+
+from sdtk_tpu.backends.speechmatics import (  # noqa: E402
+    MAX_IDENTIFIERS_PER_SPEAKER,
+    SpeechmaticsBackend,
+)
+
+
+class _MockState:
+    def __init__(self):
+        self.jobs: dict[str, dict] = {}
+        self.polls_until_done = 2
+        self.reject_jobs = False
+        self.never_done = False
+        self.auth_failures = 0
+        self.seen_auth: list[str] = []
+        self.next_id = 0
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: _MockState = None  # injected
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def _json(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        st = self.state
+        st.seen_auth.append(self.headers.get("Authorization", ""))
+        if st.auth_failures:
+            st.auth_failures -= 1
+            return self._json(401, {"error": "unauthorized"})
+        if not self.path.endswith("/jobs"):
+            return self._json(404, {"error": "not found"})
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
+        # pull the config JSON out of the multipart body
+        m = re.search(rb'name="config"\r\n\r\n(.*?)\r\n--', body, re.DOTALL)
+        config = json.loads(m.group(1)) if m else {}
+        st.next_id += 1
+        job_id = f"job{st.next_id}"
+        st.jobs[job_id] = {"config": config, "polls": 0}
+        self._json(200, {"id": job_id})
+
+    def do_GET(self):
+        st = self.state
+        st.seen_auth.append(self.headers.get("Authorization", ""))
+        m = re.match(r".*/jobs/(\w+)/transcript", self.path)
+        if m:
+            job = st.jobs[m.group(1)]
+            dia = job["config"].get("transcription_config", {}).get(
+                "speaker_diarization_config", {}
+            )
+            if dia.get("get_speakers"):  # enrollment job
+                return self._json(200, {
+                    "speakers": [
+                        {"label": "S1",
+                         "speaker_identifiers": ["ident-a", "ident-b"]},
+                        {"label": "S2", "speaker_identifiers": ["ident-c"]},
+                    ],
+                    "results": [],
+                })
+            # identification job: echo back the first configured label
+            labels = [s["label"] for s in dia.get("speakers", [])]
+            results = [
+                {"type": "word",
+                 "alternatives": [{"content": "hi", "speaker": lab}]}
+                for lab in labels[:1]
+            ] + [{"type": "word",
+                  "alternatives": [{"content": "um", "speaker": "S3"}]}]
+            return self._json(200, {"results": results})
+        m = re.match(r".*/jobs/(\w+)$", self.path)
+        if m:
+            job = st.jobs[m.group(1)]
+            job["polls"] += 1
+            if st.reject_jobs:
+                status = "rejected"
+            elif st.never_done or job["polls"] < st.polls_until_done:
+                status = "running"
+            else:
+                status = "done"
+            return self._json(200, {"job": {"status": status}})
+        self._json(404, {"error": "not found"})
+
+
+@pytest.fixture()
+def mock_api(monkeypatch, tmp_path):
+    state = _MockState()
+    handler = type("H", (_Handler,), {"state": state})
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    port = server.server_address[1]
+    monkeypatch.setenv("SPEECHMATICS_API_URL", f"http://127.0.0.1:{port}/v2")
+    monkeypatch.setenv("SPEECHMATICS_API_KEY", "test-key-123")
+    import sdtk_tpu.backends.speechmatics as SM
+
+    monkeypatch.setattr(SM, "POLL_INTERVAL", 0.02)
+    monkeypatch.setattr(SM, "POLL_TIMEOUT", 2.0)
+
+    wav = tmp_path / "a.wav"
+    from sdtk_tpu.utils.audio import save_wav
+
+    save_wav(wav, np.zeros(8000, dtype=np.float32), 16000)
+    yield state, wav
+    server.shutdown()
+    server.server_close()
+
+
+def _profile(n_idents=2):
+    idents = [f"stored-{i}" for i in range(n_idents)]
+    return {
+        "id": "alice",
+        "embeddings": {
+            "speechmatics": [
+                {"external_id": idents[0], "all_identifiers": idents[1:],
+                 "model_version": "speechmatics-v2"}
+            ]
+        },
+    }
+
+
+def test_enroll_full_lifecycle(mock_api):
+    """create → poll (running → done) → fetch; picks the speaker with the
+    most identifiers (reference speechmatics_backend.py:342); bearer auth
+    is sent on every request."""
+    state, wav = mock_api
+    b = SpeechmaticsBackend()
+    rec = b.enroll_speaker(wav)
+    assert rec["external_id"] == "ident-a"
+    assert rec["all_identifiers"] == ["ident-a", "ident-b"]
+    assert rec["vector"] is None
+    job = state.jobs["job1"]
+    assert job["polls"] >= state.polls_until_done  # the poll loop ran
+    assert all(a == "Bearer test-key-123" for a in state.seen_auth)
+
+
+def test_identify_caps_identifiers_and_binary_confidence(mock_api):
+    """identify sends ≤50 identifiers per speaker (API limit, reference
+    :425) and reports binary confidence 1.0 (reference :486); unknown
+    S-labels in the transcript are not matches."""
+    state, wav = mock_api
+    b = SpeechmaticsBackend()
+    profile = _profile(n_idents=MAX_IDENTIFIERS_PER_SPEAKER + 17)
+    out = b.identify_speaker(wav, [profile])
+    assert [r["speaker_id"] for r in out] == ["alice"]
+    assert out[0]["confidence"] == 1.0 and out[0]["similarity"] == 1.0
+    sent = state.jobs["job1"]["config"]["transcription_config"][
+        "speaker_diarization_config"]["speakers"]
+    assert len(sent) == 1 and sent[0]["label"] == "alice"
+    assert len(sent[0]["speaker_identifiers"]) == MAX_IDENTIFIERS_PER_SPEAKER
+
+
+def test_verify_via_identify(mock_api):
+    _, wav = mock_api
+    b = SpeechmaticsBackend()
+    res = b.verify_speaker(wav, _profile())
+    assert res == {"match": True, "confidence": 1.0}
+
+
+def test_identify_no_identifiers_returns_empty(mock_api):
+    state, wav = mock_api
+    b = SpeechmaticsBackend()
+    out = b.identify_speaker(wav, [{"id": "bob", "embeddings": {}}])
+    assert out == [] and state.jobs == {}  # no job even submitted
+
+
+def test_rejected_job_raises(mock_api):
+    state, wav = mock_api
+    state.reject_jobs = True
+    with pytest.raises(RuntimeError, match="rejected"):
+        SpeechmaticsBackend().enroll_speaker(wav)
+
+
+def test_poll_timeout_raises(mock_api, monkeypatch):
+    state, wav = mock_api
+    state.never_done = True
+    import sdtk_tpu.backends.speechmatics as SM
+
+    monkeypatch.setattr(SM, "POLL_TIMEOUT", 0.1)
+    with pytest.raises(TimeoutError):
+        SpeechmaticsBackend().enroll_speaker(wav)
+
+
+def test_http_error_raises(mock_api):
+    import requests
+
+    state, wav = mock_api
+    state.auth_failures = 1
+    with pytest.raises(requests.HTTPError):
+        SpeechmaticsBackend().enroll_speaker(wav)
