@@ -77,17 +77,27 @@ def main() -> int:
     far_ref = float((impostor >= ref_th).mean())
     frr_ref = float((genuine < ref_th).mean())
 
-    # Calibrated operating point: when the backend carries a measured
-    # score calibration (backends/base.py calibrate_score, fitted by
-    # evals/calibrate_threshold.py on training-family speakers), 0.354
-    # is meant to BE the operating threshold — report FAR/FRR of the
-    # calibrated scores at 0.354 so the contract is checked end to end.
+    # Scored operating point: when the backend carries a measured score
+    # pipeline (AS-norm against its cohort sidecar + affine calibration,
+    # backends/base.py score_matrix fitted by evals/calibrate_threshold.py
+    # on training-family speakers), 0.354 is meant to BE the operating
+    # threshold — report EER and FAR/FRR of the scored space so the
+    # contract is checked end to end.
     calibrated = {}
-    if hasattr(backend, "calibrate_score"):
-        cal_gen = np.asarray(backend.calibrate_score(genuine))
-        cal_imp = np.asarray(backend.calibrate_score(impostor))
-        if not np.array_equal(cal_gen, genuine):
+    if hasattr(backend, "score_matrix"):
+        scored_m = np.asarray(backend.score_matrix(trials, enroll))
+        cal_gen = scored_m[np.arange(len(trials)), trial_spk]
+        cal_imp = scored_m[mask]
+        if not np.allclose(cal_gen, genuine):
+            ths = np.unique(np.concatenate([cal_gen, cal_imp]))
+            sfar = np.array([(cal_imp >= th).mean() for th in ths])
+            sfrr = np.array([(cal_gen < th).mean() for th in ths])
+            j = int(np.argmin(np.abs(sfar - sfrr)))
             calibrated = {
+                "scored_eer": round(float((sfar[j] + sfrr[j]) / 2), 4),
+                "scored_uses_asnorm": bool(
+                    getattr(backend, "cohort", None) is not None
+                ),
                 "calibrated_far_at_reference": round(
                     float((cal_imp >= ref_th).mean()), 4
                 ),

@@ -56,6 +56,16 @@ def main() -> int:
     p.add_argument("--base-id", type=int, default=500_000,
                    help="First calibration speaker id (must exceed every "
                         "training id so these voices are unseen)")
+    p.add_argument("--families", default="0",
+                   help="Comma list of training family ids to sample "
+                        "calibration voices from (data/synth_families.py); "
+                        "should match the checkpoint's training families")
+    p.add_argument("--cohort-size", type=int, default=192,
+                   help="AS-norm cohort size: embeddings of this many "
+                        "ADDITIONAL unseen voices are written to a "
+                        "<checkpoint>.cohort.npy sidecar and identify/"
+                        "verify scores are adaptively normalized against "
+                        "them (backends/base.py score_matrix).  0 disables.")
     p.add_argument("--augment-prob", type=float, default=0.5,
                    help="Apply the training augmentation chain (speed/"
                         "reverb/tilt/band-limit, data/augment.py) to the "
@@ -69,9 +79,11 @@ def main() -> int:
     args = p.parse_args()
 
     from sdtk_tpu.backends import get_backend
-    from sdtk_tpu.data.synth import synth_utterance
+    from sdtk_tpu.data.synth_families import family_utterance
+    from sdtk_tpu.ops.cosine import asnorm
 
     backend = get_backend(args.backend)
+    families = [int(x) for x in str(args.families).split(",") if x != ""]
 
     aug_rng = np.random.default_rng(12345)
     aug_spec = None
@@ -81,7 +93,8 @@ def main() -> int:
         aug_spec = AugmentSpec.uniform(args.augment_prob)
 
     def embed(spk: int, utt: int) -> np.ndarray:
-        wav = synth_utterance(args.base_id + spk, utt, args.seconds)
+        fam = families[spk % len(families)]
+        wav = family_utterance(fam, args.base_id + spk, utt, args.seconds)
         if aug_spec is not None:
             wav = augment_batch(wav[None, :], aug_rng, aug_spec)[0]
         return np.asarray(backend.embed_waveform(wav), np.float32)
@@ -96,33 +109,63 @@ def main() -> int:
     def unit(x):
         return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
-    sims = unit(trials) @ unit(enroll).T  # (S*T, S)
-    genuine = sims[np.arange(len(trials)), trial_spk]
-    mask = np.ones_like(sims, bool)
-    mask[np.arange(len(trials)), trial_spk] = False
-    impostor = sims[mask]
+    # AS-norm cohort: further unseen voices, disjoint from the
+    # calibration speakers (ids offset another 100k).
+    cohort = None
+    if args.cohort_size > 0:
+        cohort = unit(np.stack([
+            embed(100_000 + i, 0) for i in range(args.cohort_size)
+        ]))
+
+    raw = unit(trials) @ unit(enroll).T  # (S*T, S)
+    idx = np.arange(len(trials))
+    mask = np.ones_like(raw, bool)
+    mask[idx, trial_spk] = False
+
+    raw_gen, raw_imp = raw[idx, trial_spk], raw[mask]
+    raw_eer, raw_t = eer_point(raw_gen, raw_imp)
+
+    if cohort is not None:
+        qc = unit(trials) @ cohort.T
+        pc = unit(enroll) @ cohort.T
+        scored = asnorm(raw, qc, pc)
+        score_space = "asnorm"
+    else:
+        scored = raw
+        score_space = "raw"
+    genuine, impostor = scored[idx, trial_spk], scored[mask]
 
     eer, t_star = eer_point(genuine, impostor)
     mu_gen = float(genuine.mean())
     gain = (0.9 - 0.354) / max(mu_gen - t_star, 1e-3)
-    mu_imp = float(impostor.mean())
     calib = {
+        # Affine map fitted in the space score_matrix actually scores in
+        # (AS-normed when the cohort sidecar exists, raw cosine else).
         "eer_threshold": round(t_star, 4),
         "gain": round(gain, 4),
+        "score_space": score_space,
         "calibration_eer": round(eer, 4),
         "genuine_mean": round(mu_gen, 4),
-        "impostor_mean": round(mu_imp, 4),
+        "impostor_mean": round(float(impostor.mean()), 4),
+        # Raw-cosine-space measurements, for consumers that operate on
+        # raw window-embedding geometry (cluster merging, streaming):
+        "raw_eer_threshold": round(raw_t, 4),
+        "raw_eer": round(raw_eer, 4),
+        "raw_genuine_mean": round(float(raw_gen.mean()), 4),
+        "raw_impostor_mean": round(float(raw_imp.mean()), 4),
         # Same-speaker cosine bar for cluster-merge speaker counting
         # (cluster.spectral.merge_count): midway between the measured
         # same/different-speaker linkage in THIS embedding space, replacing
         # the hard-coded 0.47 (which assumed the training-family geometry).
-        "suggested_merge_tau": round(0.5 * (mu_gen + mu_imp), 4),
+        "suggested_merge_tau": round(0.5 * float(raw_gen.mean() + raw_imp.mean()), 4),
         "speakers": n_spk,
         "base_id": args.base_id,
+        "families": families,
+        "cohort_size": int(0 if cohort is None else len(cohort)),
         "augment_prob": args.augment_prob,
         "provenance": "training-family voices unseen in training "
-                      "(data/synth.py ids >= base_id); held-out eval family "
-                      "(data/synth_heldout.py) not used",
+                      "(data/synth_families.py ids >= base_id); held-out "
+                      "eval family (data/synth_heldout.py) not used",
     }
 
     out = args.out
@@ -134,6 +177,13 @@ def main() -> int:
                   file=sys.stderr)
             return 1
         out = str(Path(src).with_suffix(".calib.json"))
+    if cohort is not None:
+        cohort_path = Path(out).with_suffix("").with_suffix(".cohort.npy")
+        # .with_suffix twice strips ".calib" when out ends ".calib.json"
+        cohort_path = Path(str(out).replace(".calib.json", ".cohort.npy")) \
+            if str(out).endswith(".calib.json") else cohort_path
+        np.save(cohort_path, cohort.astype(np.float32))
+        print(f"wrote {cohort_path}", file=sys.stderr)
     Path(out).write_text(json.dumps(calib, indent=2) + "\n")
     print(f"wrote {out}", file=sys.stderr)
     print(json.dumps({"benchmark": "calibration", "backend": args.backend,

@@ -162,9 +162,33 @@ class LocalEmbeddingBackend(EmbeddingBackend):
     # when the eval family's impostor linkage sat above it.
     cluster_merge_rel: float | None = 0.75
 
+    # Optional cohort matrix (C, D) of unit embeddings from voices
+    # unseen in training: when present, identify/verify scores are
+    # AS-normalized against it before calibration (ops.cosine.asnorm) —
+    # the score becomes relative to the cohort's geometry, which
+    # transfers across domains where the absolute cosine scale shifts.
+    cohort: np.ndarray | None = None
+    asnorm_top_k: int = 64
+
     @abstractmethod
     def embed_waveform(self, wav: np.ndarray) -> np.ndarray:
         """float32 mono waveform @ self.sample_rate → (embedding_dim,)."""
+
+    def score_matrix(self, queries: np.ndarray, profiles: np.ndarray
+                     ) -> np.ndarray:
+        """(Q, D) queries vs (P, D) profiles → calibrated scores (Q, P):
+        raw cosine → AS-norm (when a cohort is attached) → the backend's
+        affine calibration into the reference's 0.354 threshold space."""
+        from ..ops.cosine import asnorm, score_rows
+
+        raw = score_rows(np.asarray(queries, np.float32),
+                         np.asarray(profiles, np.float32))
+        cohort = self.cohort
+        if cohort is not None and len(cohort) >= 8:
+            qc = score_rows(np.asarray(queries, np.float32), cohort)
+            pc = score_rows(np.asarray(profiles, np.float32), cohort)
+            raw = asnorm(raw, qc, pc, top_k=self.asnorm_top_k)
+        return self.calibrate_score(raw)
 
     def calibrate_score(self, sims: np.ndarray) -> np.ndarray:
         """Map raw similarity scores into the reference's threshold space.
@@ -225,7 +249,6 @@ class LocalEmbeddingBackend(EmbeddingBackend):
         threshold — so multi-speaker recordings surface every present
         speaker (the reference delegated this to the cloud's internal
         diarization, speechmatics_backend.py:361-489)."""
-        from ..ops.cosine import score_rows
         from ..store.profiles import ProfileMatrix
 
         pm = ProfileMatrix.build(self.name, speakers=candidates)
@@ -233,7 +256,7 @@ class LocalEmbeddingBackend(EmbeddingBackend):
             return []
         wav = self._load(audio_path, segments)
         queries = np.asarray(self.embed_windows(wav), dtype=np.float32)  # (W, D)
-        sims = self.calibrate_score(score_rows(queries, pm.matrix))  # (W, N)
+        sims = self.score_matrix(queries, pm.matrix)  # (W, N) calibrated
         best_per_row = sims.max(axis=0)  # (N,) best window per profile row
 
         best: dict[str, tuple[float, str]] = {}

@@ -55,6 +55,13 @@ class TpuBackend(LocalEmbeddingBackend):
         return LocalEmbeddingBackend.cluster_merge_tau
 
     @property
+    def cohort(self) -> "np.ndarray | None":
+        """AS-norm cohort matrix from the checkpoint's ``.cohort.npy``
+        sidecar (written by evals/calibrate_threshold.py): unit
+        embeddings of training-family voices unseen in training."""
+        return self.engine.cohort
+
+    @property
     def embedding_dim(self) -> int:
         return self.engine.emb_dim
 
@@ -137,6 +144,7 @@ class _EmbedEngine:
 
         self.variables = self._init_or_load(params_path, seed)
         self.calibration = self._load_calibration()
+        self.cohort = self._load_cohort()
         # Device-resident params passed as a jit ARGUMENT, not a closure:
         # closing over them would bake 25 MB of weights into the compiled
         # program as constants, so every checkpoint swap (or A/B via
@@ -236,6 +244,28 @@ class _EmbedEngine:
 
             print(f"Warning: ignoring malformed calibration sidecar "
                   f"{sidecar}: {e}", file=sys.stderr)
+            return None
+
+    def _load_cohort(self) -> "np.ndarray | None":
+        """AS-norm cohort sidecar ``<checkpoint>.cohort.npy`` — (C, D)
+        unit embeddings of unseen training-family voices (written by
+        evals/calibrate_threshold.py --cohort-size).  None when absent
+        (scoring then stays plain calibrated cosine)."""
+        if self.params_source == "random-init":
+            return None
+        sidecar = Path(self.params_source).with_suffix(".cohort.npy")
+        if not sidecar.exists():
+            return None
+        try:
+            cohort = np.load(sidecar)
+            if cohort.ndim != 2 or cohort.shape[1] != self.emb_dim:
+                raise ValueError(f"bad cohort shape {cohort.shape}")
+            return np.asarray(cohort, np.float32)
+        except (ValueError, OSError) as e:
+            import sys
+
+            print(f"Warning: ignoring malformed cohort sidecar {sidecar}: "
+                  f"{e}", file=sys.stderr)
             return None
 
     def save_params(self, path: str | Path | None = None) -> Path:

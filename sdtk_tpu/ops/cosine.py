@@ -50,6 +50,40 @@ def score_rows(queries: np.ndarray | jax.Array, profiles: np.ndarray | jax.Array
     return np.asarray(_score_rows_jit(jnp.asarray(queries), jnp.asarray(profiles)))
 
 
+def asnorm(
+    raw: np.ndarray,
+    query_cohort: np.ndarray,
+    profile_cohort: np.ndarray,
+    top_k: int = 64,
+) -> np.ndarray:
+    """Adaptive symmetric score normalization (AS-norm).
+
+    Standardizes each raw cosine ``raw[q, p]`` against the top-K cohort
+    scores of BOTH sides: z(q) with the query's closest cohort speakers,
+    z(p) with the profile's, averaged.  Scores become relative to "how
+    close does this voice sit to other voices in general", which
+    transfers across domains where absolute cosine geometry shifts (the
+    r2 held-out finding: 15.6% EER clean largely from a domain-wide
+    score offset).  Cohort embeddings come from training-family voices
+    unseen in training (evals/calibrate_threshold.py --cohort-size).
+
+    raw: (Q, P); query_cohort: (Q, C); profile_cohort: (P, C) → (Q, P).
+    """
+    k = min(top_k, query_cohort.shape[1])
+    if k < 4:
+        return raw
+
+    def _stats(sims: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        top = np.partition(sims, -k, axis=1)[:, -k:]
+        return top.mean(axis=1), np.maximum(top.std(axis=1), 1e-6)
+
+    mu_q, sd_q = _stats(query_cohort)
+    mu_p, sd_p = _stats(profile_cohort)
+    zq = (raw - mu_q[:, None]) / sd_q[:, None]
+    zp = (raw - mu_p[None, :]) / sd_p[None, :]
+    return (0.5 * (zq + zp)).astype(np.float32)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def top_k_scores(queries: jax.Array, profiles: jax.Array, k: int = 3):
     """(Q, D) x (N, D) → top-k (scores, indices) per query."""
