@@ -162,6 +162,13 @@ class LocalEmbeddingBackend(EmbeddingBackend):
     # when the eval family's impostor linkage sat above it.
     cluster_merge_rel: float | None = 0.75
 
+    # Raw-cosine-space same/different-speaker decision boundary for
+    # consumers that compare window embeddings directly (streaming
+    # assignment): measured per checkpoint (calibrate_threshold.py
+    # "raw_eer_threshold") where available; None = caller falls back to
+    # its own default.
+    raw_decision_threshold: float | None = None
+
     # Optional cohort matrix (C, D) of unit embeddings from voices
     # unseen in training: when present, identify/verify scores are
     # AS-normalized against it before calibration (ops.cosine.asnorm) —

@@ -55,6 +55,21 @@ class TpuBackend(LocalEmbeddingBackend):
         return LocalEmbeddingBackend.cluster_merge_tau
 
     @property
+    def raw_decision_threshold(self) -> float | None:
+        """Measured same/different-speaker boundary in raw cosine space
+        (calibration sidecar ``raw_eer_threshold``) — the streaming
+        new-speaker bar derives from this instead of a fixed constant
+        (r2 finding: a fixed 0.5 under-spawns speakers on domains whose
+        impostor similarities sit above it)."""
+        calib = self.engine.calibration
+        if calib and "raw_eer_threshold" in calib:
+            return float(calib["raw_eer_threshold"])
+        if calib and "eer_threshold" in calib and \
+                calib.get("score_space", "raw") == "raw":
+            return float(calib["eer_threshold"])
+        return None
+
+    @property
     def cohort(self) -> "np.ndarray | None":
         """AS-norm cohort matrix from the checkpoint's ``.cohort.npy``
         sidecar (written by evals/calibrate_threshold.py): unit

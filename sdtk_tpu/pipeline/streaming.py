@@ -27,11 +27,20 @@ class StreamingConfig:
     sample_rate: int = 16000
     window_seconds: float = 1.5
     hop_seconds: float = 0.75
-    new_speaker_threshold: float = 0.5  # cosine; below → new speaker
+    # Raw-cosine bar below which a window spawns a NEW speaker.  None
+    # (default) resolves from the backend's measured calibration
+    # (raw_decision_threshold, the same/different-speaker EER boundary
+    # in the live embedding space); the 0.5 fallback only applies to
+    # uncalibrated backends.  A fixed absolute bar was the r2 fragility:
+    # on a shifted domain whose impostor similarities sit above it, live
+    # feed() under-spawns speakers even though finalize() reclusters
+    # correctly.
+    new_speaker_threshold: float | None = None
     centroid_momentum: float = 0.9
     max_speakers: int = 16
     vad_threshold_db: float = -40.0
     embed_chunk: int = 16  # windows per device call
+    _FALLBACK_THRESHOLD = 0.5
 
 
 @dataclass
@@ -53,6 +62,14 @@ class OnlineDiarizer:
         self.cfg = cfg
         self.backend = get_backend(backend_name)
         self.state = _State()
+        if cfg.new_speaker_threshold is None:
+            measured = getattr(self.backend, "raw_decision_threshold", None)
+            self.new_speaker_threshold = (
+                float(measured) if measured is not None
+                else StreamingConfig._FALLBACK_THRESHOLD
+            )
+        else:
+            self.new_speaker_threshold = float(cfg.new_speaker_threshold)
 
     # -- feeding ------------------------------------------------------------
 
@@ -112,7 +129,7 @@ class OnlineDiarizer:
             cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
             sims = cents @ emb
             best = int(np.argmax(sims))
-            if sims[best] >= cfg.new_speaker_threshold or len(st.centroids) >= cfg.max_speakers:
+            if sims[best] >= self.new_speaker_threshold or len(st.centroids) >= cfg.max_speakers:
                 m = cfg.centroid_momentum
                 st.centroids[best] = m * st.centroids[best] + (1 - m) * emb
                 st.counts[best] += 1
