@@ -24,10 +24,18 @@ import numpy as np
 
 def build_meeting(meeting_id: int, n_speakers: int, n_turns: int, turn_s: float,
                   heldout: bool = False, tier: str = "clean",
-                  snr_db: float = 15.0):
+                  snr_db: float = 15.0, overlap_frac: float = 0.0,
+                  sr: int = 16000):
     """Synthesize a meeting.  --heldout draws voices from the DISJOINT
     eval generator family (data/synth_heldout.py) and applies the channel
-    tier — the non-circular quality measurement (r1 VERDICT missing #2)."""
+    tier — the non-circular quality measurement (r1 VERDICT missing #2).
+
+    ``overlap_frac``: probability that a turn starts BEFORE the previous
+    one ends (0.4–1.2 s of genuinely mixed audio) — real meetings overlap
+    10–20% of the time, and a strictly turn-taking corpus never exercises
+    the overlap path (r2 VERDICT missing #4).  The reference segments
+    carry the true overlapping intervals; the DER scorer
+    (cluster/der.py) handles per-frame speaker SETS natively."""
     from sdtk_tpu.data.synth import synth_utterance
 
     if heldout:
@@ -38,7 +46,7 @@ def build_meeting(meeting_id: int, n_speakers: int, n_turns: int, turn_s: float,
         make = synth_utterance
 
     rng = np.random.default_rng(500 + meeting_id)
-    pieces = []
+    placed = []  # (t_start, waveform, label)
     ref = []
     t = 0.0
     prev = -1
@@ -48,10 +56,20 @@ def build_meeting(meeting_id: int, n_speakers: int, n_turns: int, turn_s: float,
             spk = (spk + 1) % n_speakers
         prev = spk
         dur = float(rng.uniform(turn_s * 0.7, turn_s * 1.3))
-        pieces.append(make(spk, 1000 * meeting_id + turn, dur))
-        ref.append((t, t + dur, f"SPK{spk}"))
-        t += dur
-    wav = np.concatenate(pieces)
+        start = t
+        if turn > 0 and overlap_frac > 0 and rng.uniform() < overlap_frac:
+            start = max(0.0, t - float(rng.uniform(0.4, 1.2)))
+        piece = make(spk, 1000 * meeting_id + turn, dur)
+        placed.append((start, piece, spk))
+        ref.append((start, start + dur, f"SPK{spk}"))
+        t = start + dur
+    n = int(np.ceil(t * sr)) + 1
+    wav = np.zeros(n, dtype=np.float64)
+    for start, piece, _ in placed:
+        a = int(start * sr)
+        wav[a : a + len(piece)] += piece
+    peak = np.max(np.abs(wav)) + 1e-9
+    wav = (0.5 * wav / peak).astype(np.float32)
     if heldout and tier != "clean":
         from sdtk_tpu.data.synth_heldout import apply_tier
 
@@ -75,6 +93,15 @@ def main() -> int:
     p.add_argument("--tier", default="clean",
                    choices=["clean", "noise", "reverb", "telephone"])
     p.add_argument("--snr-db", type=float, default=15.0)
+    p.add_argument("--overlap-frac", type=float, default=0.0,
+                   help="Probability a turn overlaps the previous one "
+                        "(0.4-1.2 s mixed audio); the reference segments "
+                        "and the frame-based scorer handle the resulting "
+                        "2-speaker regions natively")
+    p.add_argument("--detect-overlap", action="store_true",
+                   help="Run the secondary-speaker detector "
+                        "(pipeline/diarize.py detect_overlap_windows) and "
+                        "score its overlap segments as hypothesis speech")
     args = p.parse_args()
 
     from sdtk_tpu.cluster import diarization_error_rate
@@ -82,20 +109,28 @@ def main() -> int:
 
     cfg = DiarizeConfig(n_speakers=args.speakers if args.known_k else None,
                         max_speakers=max(8, args.speakers),
-                        window_seconds=args.window, hop_seconds=args.hop)
+                        window_seconds=args.window, hop_seconds=args.hop,
+                        detect_overlap=args.detect_overlap)
     d = Diarizer(args.backend, cfg)
 
-    ders = []
+    ders, misses, fas, confs = [], [], [], []
     audio_seconds = 0.0
     t0 = time.time()
     for m in range(args.meetings):
         wav, ref = build_meeting(m, args.speakers, args.turns, args.turn_seconds,
                                  heldout=args.heldout, tier=args.tier,
-                                 snr_db=args.snr_db)
+                                 snr_db=args.snr_db,
+                                 overlap_frac=args.overlap_frac)
         audio_seconds += len(wav) / 16000
         result = d.diarize_waveform(wav)
-        metrics = diarization_error_rate(ref, result["segments"], collar=args.collar)
+        hyp = list(result["segments"])
+        if args.detect_overlap:
+            hyp += list(result.get("overlap_segments", []))
+        metrics = diarization_error_rate(ref, hyp, collar=args.collar)
         ders.append(metrics["der"])
+        misses.append(metrics["miss"])
+        fas.append(metrics["false_alarm"])
+        confs.append(metrics["confusion"])
     wall = time.time() - t0
 
     out = {
@@ -105,8 +140,13 @@ def main() -> int:
         "tier": args.tier if args.heldout else "clean",
         "meetings": args.meetings,
         "speakers": args.speakers,
+        "overlap_frac": args.overlap_frac,
+        "detect_overlap": bool(args.detect_overlap),
         "mean_der": round(float(np.mean(ders)), 4),
         "max_der": round(float(np.max(ders)), 4),
+        "mean_miss": round(float(np.mean(misses)), 4),
+        "mean_false_alarm": round(float(np.mean(fas)), 4),
+        "mean_confusion": round(float(np.mean(confs)), 4),
         "collar": args.collar,
         "audio_seconds": round(audio_seconds, 1),
         "wall_seconds": round(wall, 2),

@@ -34,7 +34,12 @@ class DiarizeConfig:
     merge_tau: float | None = None  # same-speaker merge bar; None = backend's
     detect_overlap: bool = False  # emit secondary-speaker segments
     overlap_ratio: float = 0.8  # 2nd/1st centroid-similarity ratio gate
-    overlap_min_sim: float = 0.7  # absolute 2nd-best similarity floor
+    # Absolute 2nd-best similarity floor.  None (default) resolves to the
+    # backend's measured same-speaker merge bar (cluster_merge_tau from
+    # the calibration sidecar): "the secondary centroid is same-speaker-
+    # close" is the right absolute notion, and a fixed 0.7 would carry
+    # one geometry across domains (the r2 fragility class).
+    overlap_min_sim: float | None = None
 
 
 def energy_vad_mask(
@@ -172,8 +177,13 @@ class Diarizer:
 
         overlap_pairs: list[tuple[int, int]] = []  # (window_idx, 2nd label)
         if cfg.detect_overlap and n_spk > 1:
+            min_sim = (
+                cfg.overlap_min_sim
+                if cfg.overlap_min_sim is not None
+                else float(getattr(self.backend, "cluster_merge_tau", 0.7))
+            )
             overlap_pairs = detect_overlap_windows(
-                emb, labels, n_spk, cfg.overlap_ratio, cfg.overlap_min_sim
+                emb, labels, n_spk, cfg.overlap_ratio, min_sim
             )
         segments = labels_to_segments(
             labels, speech_starts, cfg.window_seconds, prefix="S"

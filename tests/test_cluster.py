@@ -433,3 +433,38 @@ def test_spectral_cluster_merge_rel_plumbed():
     labels, k = spectral_cluster(emb, merge_rel=0.75)
     assert k == 3
     assert agreement(labels, true) > 0.95
+
+
+def test_overlap_meeting_synthesis_and_scoring():
+    """--overlap-frac meetings contain genuinely overlapping reference
+    intervals, and the frame-based scorer charges a single-track
+    hypothesis a MISS for the second active speaker (r2 VERDICT missing
+    #4: overlap must be visible to the quality harness)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "evals"))
+    from benchmark_der import build_meeting
+
+    from sdtk_tpu.cluster import diarization_error_rate
+
+    wav, ref = build_meeting(1, n_speakers=3, n_turns=12, turn_s=3.0,
+                             overlap_frac=0.6)
+    # at least one pair of reference segments overlaps in time
+    overlaps = [
+        (a, b) for a in ref for b in ref
+        if a is not b and a[0] < b[0] < a[1]
+    ]
+    assert overlaps, "overlap_frac must produce overlapping reference turns"
+    assert len(wav) >= int(ref[-1][1] * 16000)
+
+    # perfect single-track hypothesis (primary speaker only): the scorer
+    # must charge the overlapped second speaker as MISS
+    hyp = []
+    for i, (s, e, lbl) in enumerate(ref):
+        nxt = ref[i + 1][0] if i + 1 < len(ref) else e
+        hyp.append((s, min(e, max(nxt, s + 0.01)), lbl))
+    m = diarization_error_rate(ref, hyp, collar=0.0)
+    assert m["miss"] > 0.02, m
+    # the full reference as hypothesis scores ~0
+    assert diarization_error_rate(ref, ref, collar=0.0)["der"] < 1e-9
