@@ -49,6 +49,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--files", type=int, default=64)
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--source-sr", type=int, default=44100)
+    ap.add_argument("--thread-sweep", action="store_true",
+                    help="Measure throughput at 1..nproc threads — the "
+                         "measured core-scaling grounds the DP roofline's "
+                         "host-decode term (evals/benchmark_scaling.py), "
+                         "replacing its linear-in-cores assumption")
     args = ap.parse_args(argv)
 
     import tempfile
@@ -68,6 +73,25 @@ def main(argv: list[str] | None = None) -> int:
             dt = time.perf_counter() - t0
             assert len(batch) == args.files
             results["native_threaded"] = round(audio_s / dt, 1)
+
+            if args.thread_sweep:
+                import os
+
+                sweep = {}
+                n_cores = os.cpu_count() or 1
+                threads = sorted({1, 2, 4, n_cores} & set(range(1, n_cores + 1)))
+                for nt in threads:
+                    t0 = time.perf_counter()
+                    audio.load_audio_batch(paths, target_sr=16000, n_threads=nt)
+                    sweep[str(nt)] = round(audio_s / (time.perf_counter() - t0), 1)
+                results["thread_sweep_audio_s_per_s"] = sweep
+                base = sweep.get("1")
+                if base and len(threads) > 1:
+                    top = threads[-1]
+                    results["core_scaling_efficiency"] = round(
+                        sweep[str(top)] / (top * base), 3
+                    )
+                    results["per_core_audio_s_per_s"] = base
 
         t0 = time.perf_counter()
         for p in paths:

@@ -64,8 +64,14 @@ def roofline(argv_extra: dict | None = None) -> dict:
     < 0.1% and eff(N) ≈ t_compute / (t_compute/N + t_comm + t_eigh).
     """
     chip_rate = 57_000.0  # measured embed+cluster audio-s/s/chip (bench.py)
-    host_decode = 3_200.0  # measured native decode audio-s/s per core-set
-    host_cores = 8  # loader core-sets per host (conservative)
+    # Host decode term: MEASURED by evals/benchmark_decode.py
+    # --thread-sweep (r3, after the SIMD/fast-path rewrite of
+    # native/audioio.cc): per-core decode+resample rate and the measured
+    # multi-thread scaling efficiency on this host replace the r2
+    # assumption that decode scales linearly in cores.
+    host_decode = 6_200.0  # measured audio-s/s per core (single-thread)
+    host_decode_scaling = 0.86  # measured 1→nproc thread-scaling efficiency
+    host_cores = 8  # loader cores per host (topology parameter)
     chips_per_host = 8  # v5e host topology
     ici_bw = 186e9  # bytes/s per link direction
     wav_bytes_per_audio_s = 16_000 * 4
@@ -85,13 +91,19 @@ def roofline(argv_extra: dict | None = None) -> dict:
     #     shared across chips_per_host chips — decode-gated at any N when
     #     the corpus needs real decode (compressed input at 44.1 kHz).
     #     Raw 16 kHz WAV (no resample) is ~10× cheaper and closes the gap.
-    per_chip_input = host_cores * host_decode / chips_per_host
+    per_chip_input = (
+        host_cores * host_decode * host_decode_scaling / chips_per_host
+    )
     dp = {
         "scale_out_efficiency_model": 1.0,
         "scale_out_gated_by": "per-host queue coordination (negligible)",
         "per_chip_compute_audio_s_per_s": chip_rate,
         "per_chip_decode_fed_audio_s_per_s": round(per_chip_input, 1),
         "decode_gated_fraction": round(per_chip_input / chip_rate, 3),
+        "host_decode_provenance": "per-core rate and thread-scaling "
+                                  "measured (benchmark_decode.py "
+                                  "--thread-sweep); cores/host is a "
+                                  "topology parameter",
         "note": "decode gating is independent of N (each host feeds its "
                 "own chips); it bounds absolute rate, not scaling",
     }

@@ -101,49 +101,66 @@ Decoded decode_wav_file(const char* path) {
     out.error = 3;
     return out;
   }
-  const double inv_ch = 1.0 / channels;
-  for (int64_t i = 0; i < frames; ++i) {
-    double acc = 0.0;
-    for (int c = 0; c < channels; ++c) {
-      int64_t idx = i * channels + c;
-      double v = 0.0;
-      if (fmt_code == 3) {  // IEEE float
-        if (bits == 32) {
-          float x;
-          std::memcpy(&x, payload + idx * 4, 4);
-          v = x;
-        } else {
-          double x;
-          std::memcpy(&x, payload + idx * 8, 8);
-          v = x;
-        }
-      } else {
-        switch (bits) {
-          case 8: v = (payload[idx] - 128) / 128.0; break;
-          case 16: {
-            int16_t x;
-            std::memcpy(&x, payload + idx * 2, 2);
-            v = x / 32768.0;
-            break;
-          }
-          case 24: {
-            int32_t x = payload[idx * 3] | (payload[idx * 3 + 1] << 8) |
-                        (payload[idx * 3 + 2] << 16);
-            if (x >= (1 << 23)) x -= (1 << 24);
-            v = x / 8388608.0;
-            break;
-          }
-          case 32: {
-            int32_t x;
+  // Fast paths for the dominant encodings: branch-free per-sample loops
+  // the compiler auto-vectorizes (AVX2/AVX-512 with -march=native).  The
+  // scalar switch loop below cost ~43% of end-to-end decode+resample
+  // time on 16-bit mono input (evals/benchmark_decode.py, r3 profile).
+  if (fmt_code == 1 && bits == 16 && channels == 1) {
+    const int16_t* s = reinterpret_cast<const int16_t*>(payload);
+    constexpr float kInv = 1.0f / 32768.0f;
+    for (int64_t i = 0; i < frames; ++i) mono[i] = s[i] * kInv;
+  } else if (fmt_code == 1 && bits == 16 && channels == 2) {
+    const int16_t* s = reinterpret_cast<const int16_t*>(payload);
+    constexpr float kInv = 0.5f / 32768.0f;
+    for (int64_t i = 0; i < frames; ++i)
+      mono[i] = (static_cast<int32_t>(s[2 * i]) + s[2 * i + 1]) * kInv;
+  } else if (fmt_code == 3 && bits == 32 && channels == 1) {
+    std::memcpy(mono, payload, frames * sizeof(float));
+  } else {
+    const double inv_ch = 1.0 / channels;
+    for (int64_t i = 0; i < frames; ++i) {
+      double acc = 0.0;
+      for (int c = 0; c < channels; ++c) {
+        int64_t idx = i * channels + c;
+        double v = 0.0;
+        if (fmt_code == 3) {  // IEEE float
+          if (bits == 32) {
+            float x;
             std::memcpy(&x, payload + idx * 4, 4);
-            v = x / 2147483648.0;
-            break;
+            v = x;
+          } else {
+            double x;
+            std::memcpy(&x, payload + idx * 8, 8);
+            v = x;
+          }
+        } else {
+          switch (bits) {
+            case 8: v = (payload[idx] - 128) / 128.0; break;
+            case 16: {
+              int16_t x;
+              std::memcpy(&x, payload + idx * 2, 2);
+              v = x / 32768.0;
+              break;
+            }
+            case 24: {
+              int32_t x = payload[idx * 3] | (payload[idx * 3 + 1] << 8) |
+                          (payload[idx * 3 + 2] << 16);
+              if (x >= (1 << 23)) x -= (1 << 24);
+              v = x / 8388608.0;
+              break;
+            }
+            case 32: {
+              int32_t x;
+              std::memcpy(&x, payload + idx * 4, 4);
+              v = x / 2147483648.0;
+              break;
+            }
           }
         }
+        acc += v;
       }
-      acc += v;
+      mono[i] = static_cast<float>(acc * inv_ch);
     }
-    mono[i] = static_cast<float>(acc * inv_ch);
   }
   out.data = mono;
   out.n = frames;
@@ -206,12 +223,24 @@ Decoded resample(const float* x, int64_t n, int sr_in, int sr_out) {
 
   int64_t c = 0, p = 0;  // running (t*down) divmod up — no int division
   for (int64_t t = 0; t < n_out; ++t) {
-    const float* h = &bank[(size_t)p * kTaps];
+    const float* __restrict h = &bank[(size_t)p * kTaps];
     int64_t lo = c - kHalfTaps + 1;
     float acc = 0.0f;
     if (lo >= 0 && lo + kTaps <= n) {
-      const float* xp = x + lo;
-      for (int k = 0; k < kTaps; ++k) acc += xp[k] * h[k];
+      // Hot path: fixed-length FIR accumulated in 16 contiguous lanes —
+      // the inner j-loop maps to one AVX-512 (or two AVX2) FMA per
+      // 16-tap block, with the reassociation made explicit so it's
+      // legal without -ffast-math.
+      const float* __restrict xp = x + lo;
+      float lane[16] = {0.0f};
+      for (int k = 0; k < kTaps; k += 16)
+        for (int j = 0; j < 16; ++j) lane[j] += xp[k + j] * h[k + j];
+      float s0 = 0.0f, s1 = 0.0f;
+      for (int j = 0; j < 8; ++j) {
+        s0 += lane[j];
+        s1 += lane[8 + j];
+      }
+      acc = s0 + s1;
     } else {
       for (int k = 0; k < kTaps; ++k) {
         int64_t i = lo + k;
