@@ -3,6 +3,10 @@
 #   ./run_tests.sh            all unit tests
 #   ./run_tests.sh cluster    one collection (tests/test_<name>.py)
 #   ./run_tests.sh --doc      show the test-suite documentation
+#   ./run_tests.sh --doc NAME show one collection's README
+#                             (tests/test_<NAME>.README.md — the
+#                             reference's per-collection doc convention,
+#                             run_speaker_diarization_tests.sh:27-53)
 #   ./run_tests.sh --evals    accuracy benchmarks (fake backend)
 #   ./run_tests.sh --reference run the REFERENCE toolkit's own 198-test
 #                             acceptance suite against this CLI
@@ -13,7 +17,17 @@ cd "$(dirname "$0")"
 
 case "${1:-}" in
   --doc)
-    cat tests/README.md
+    if [[ -n "${2:-}" ]]; then
+      cat "tests/test_${2}.README.md"
+    else
+      cat tests/README.md
+      echo
+      echo "Per-collection docs (./run_tests.sh --doc <name>):"
+      for f in tests/test_*.README.md; do
+        b="$(basename "$f" .README.md)"
+        echo "  ${b#test_}"
+      done
+    fi
     ;;
   --reference)
     python evals/run_reference_suite.py
