@@ -154,6 +154,50 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001 — A/B is informative, never fatal
         details["frontend_ab_error"] = str(e)[:200]
 
+    # Host→device transfer overlap: production feeds fresh host batches,
+    # so measure (a) serial put→compute and (b) double-buffered — the
+    # next batch's H2D enqueued while the current batch computes.  The
+    # delta is what input pipelining buys at this batch size.
+    try:
+        host_bufs = [
+            np.random.default_rng(s).standard_normal(
+                (batch, n_samples)).astype(np.float32)
+            for s in (1, 2)
+        ]
+
+        def run_serial(n):
+            out = None
+            for i in range(n):
+                dev = jax.device_put(host_bufs[i % 2])
+                jax.block_until_ready(dev)  # un-overlapped H2D
+                out = embed_cluster(dev)
+            jax.block_until_ready(out)
+
+        def run_double_buffered(n):
+            out = None
+            nxt = jax.device_put(host_bufs[0])
+            for i in range(n):
+                cur = nxt
+                if i + 1 < n:  # enqueue next H2D while this batch computes
+                    nxt = jax.device_put(host_bufs[(i + 1) % 2])
+                out = embed_cluster(cur)
+            jax.block_until_ready(out)
+
+        run_serial(2)
+        run_double_buffered(2)  # warm
+        t0 = time.perf_counter()
+        run_serial(n_iters)
+        dt_serial = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run_double_buffered(n_iters)
+        dt_db = time.perf_counter() - t0
+        details["h2d_serial_audio_s_per_s"] = round(audio_seconds / dt_serial, 1)
+        details["h2d_double_buffered_audio_s_per_s"] = round(
+            audio_seconds / dt_db, 1)
+        details["h2d_overlap_speedup"] = round(dt_serial / dt_db, 3)
+    except Exception as e:  # noqa: BLE001 — informative, never fatal
+        details["h2d_error"] = str(e)[:200]
+
     sweep_spec = os.environ.get("SDTK_BENCH_SWEEP")
     if sweep_spec:
         sweep = {}
