@@ -17,6 +17,13 @@ reference's documented workflows actually use, with real jq semantics:
   ``not`` with jq truthiness (null/false are falsy);
 - string interpolation ``"\\(expr)"``;
 - array ``[expr]`` and object ``{a: f, "b": g, c}`` construction;
+- variables: ``EXPR as $x | BODY`` bindings and ``$x`` references
+  (lexically scoped; ``.end``-style keyword fields still work — the
+  tokenizer distinguishes attached ``.as`` from ``. as``);
+- conditionals ``if C then A elif C2 then B else D end`` (missing
+  ``else`` defaults to identity, jq semantics);
+- folds: ``reduce SRC as $x (INIT; UPDATE)`` and
+  ``foreach SRC as $x (INIT; UPDATE[; EXTRACT])``;
 - builtins: length, keys, keys_unsorted, values, has, contains, inside,
   select, map, group_by, sort, sort_by, unique, unique_by, add, min,
   max, min_by, max_by, reverse, flatten, range, floor, ceil, round,
@@ -25,9 +32,10 @@ reference's documented workflows actually use, with real jq semantics:
   ascii_downcase, ascii_upcase, join, split, to_entries, from_entries.
 
 Out of scope — and failing LOUDLY with :class:`JqError`, never silently
-returning wrong data: variables (``$x``/``as``), ``reduce``/``foreach``,
-``def``, ``if/then/else``, regex builtins (``test``/``match``), paths/
-``del``/assignment, ``@base64``-style formats.
+returning wrong data: ``def`` user functions, destructuring patterns
+after ``as``, ``try/catch``, ``label``, regex builtins
+(``test``/``match``), paths/``del``/assignment, ``@base64``-style
+formats, recursive descent ``..``.
 
 Public API (unchanged): :func:`query`, :func:`query_lines`,
 :class:`JqError`.
@@ -92,10 +100,12 @@ def _tokenize(src: str) -> list[_Tok]:
             i = j + 1
             continue
         if ch == "$":
-            raise JqError(
-                "variables ($name) are not supported (jqlite subset — see "
-                "sdtk_tpu/utils/jqlite.py docstring)"
-            )
+            m = _IDENT.match(src, i + 1)
+            if not m:
+                raise JqError("expected a name after '$'")
+            toks.append(_Tok("var", m.group(0)))
+            i = m.end()
+            continue
         if ch == "@":
             raise JqError("@format strings are not supported (jqlite subset)")
         two = src[i : i + 2]
@@ -113,6 +123,14 @@ def _tokenize(src: str) -> list[_Tok]:
                 _Tok("number", float(text) if ("." in text or "e" in text.lower())
                      else int(text))
             )
+            i = m.end()
+            continue
+        if ch == "." and i + 1 < n and _IDENT.match(src, i + 1):
+            # ".name" with NO whitespace is a field access (jq allows
+            # keyword-named fields like `.end`); ". name" keeps the dot
+            # separate so `. as $x` parses as a binding.
+            m = _IDENT.match(src, i + 1)
+            toks.append(_Tok("field", m.group(0)))
             i = m.end()
             continue
         m = _IDENT.match(src, i)
@@ -198,9 +216,10 @@ def _scan_string(src: str, i: int) -> tuple[list[Any], int]:
 _RESERVED = {"and", "or", "not", "as", "def", "reduce", "foreach", "if",
              "then", "elif", "else", "end", "try", "catch", "import",
              "include", "label"}
-_UNSUPPORTED_KW = {"as", "def", "reduce", "foreach", "if", "then", "elif",
-                   "else", "end", "try", "catch", "import", "include",
-                   "label"}
+_UNSUPPORTED_KW = {"def", "try", "catch", "import", "include", "label"}
+# Keywords that terminate an expression (consumed by the if/reduce
+# parsers, never valid as a function call).
+_STOP_KW = {"then", "elif", "else", "end", "as"}
 
 
 class _Parser:
@@ -222,9 +241,17 @@ class _Parser:
             raise JqError(f"expected {kind!r}, got {t.kind!r}")
         return t
 
-    # pipe := comma ('|' comma)*
+    # pipe := comma ('as' $var '|' pipe | ('|' comma)*)
     def parse_pipe(self):
         node = self.parse_comma()
+        if self.peek().kind == "ident" and self.peek().value == "as":
+            self.next()
+            t = self.next()
+            if t.kind != "var":
+                raise JqError("destructuring patterns after 'as' are not "
+                              "supported (jqlite subset: 'EXPR as $name')")
+            self.expect("|")
+            return ("bind", node, t.value, self.parse_pipe())
         while self.peek().kind == "|":
             self.next()
             node = ("pipe", node, self.parse_comma())
@@ -291,11 +318,20 @@ class _Parser:
         node = self.parse_primary()
         while True:
             t = self.peek()
-            if t.kind == ".":
-                # .ident after an expression (e.g. (.a).b)
+            if t.kind == "field":
+                # .ident after an expression (e.g. (.a).b, .a.b)
                 self.next()
-                name = self.expect("ident").value
-                node = ("index", node, ("lit", name))
+                node = ("index", node, ("lit", t.value))
+            elif t.kind == ".":
+                # . followed by a quoted key: ."a b"
+                self.next()
+                nxt = self.next()
+                if nxt.kind == "string":
+                    node = ("index", node, _string_node(nxt.value))
+                elif nxt.kind == "ident":
+                    node = ("index", node, ("lit", nxt.value))
+                else:
+                    raise JqError("expected a field name after '.'")
             elif t.kind == "[":
                 self.next()
                 node = self._bracket_suffix(node)
@@ -328,14 +364,14 @@ class _Parser:
 
     def parse_primary(self):
         t = self.peek()
+        if t.kind == "field":
+            # ".name" fused by the tokenizer (jq allows `.end`, `.and`
+            # etc. — keyword-named fields — when directly attached).
+            self.next()
+            return ("index", ("identity",), ("lit", t.value))
         if t.kind == ".":
             self.next()
             nxt = self.peek()
-            # After '.', ANY identifier is a field name — jq allows
-            # `.end`, `.and`, `.not` etc. in key position.
-            if nxt.kind == "ident":
-                self.next()
-                return ("index", ("identity",), ("lit", nxt.value))
             if nxt.kind == "string":
                 self.next()
                 return ("index", ("identity",), _string_node(nxt.value))
@@ -365,11 +401,20 @@ class _Parser:
         if t.kind == "{":
             self.next()
             return self._parse_object()
+        if t.kind == "var":
+            self.next()
+            return ("var", t.value)
         if t.kind == "ident":
             name = t.value
             if name in ("true", "false", "null"):
                 self.next()
                 return ("lit", {"true": True, "false": False, "null": None}[name])
+            if name == "if":
+                return self._parse_if()
+            if name in ("reduce", "foreach"):
+                return self._parse_reduce(name)
+            if name in _STOP_KW:
+                raise JqError(f"unexpected keyword '{name}'")
             if name in _UNSUPPORTED_KW:
                 raise JqError(
                     f"'{name}' is not supported (jqlite subset — see "
@@ -386,6 +431,59 @@ class _Parser:
                 self.expect(")")
             return ("call", name, args)
         raise JqError(f"unexpected token {t.kind!r} in query")
+
+    def _kw(self) -> str | None:
+        t = self.peek()
+        return t.value if t.kind == "ident" and t.value in (
+            "then", "elif", "else", "end") else None
+
+    def _parse_if(self):
+        """if C then A (elif C2 then B)* (else D)? end — missing else
+        defaults to identity (jq semantics)."""
+        self.next()  # 'if'
+        branches = []
+        cond = self.parse_pipe()
+        if self._kw() != "then":
+            raise JqError("expected 'then' after if condition")
+        self.next()
+        branches.append((cond, self.parse_pipe()))
+        while self._kw() == "elif":
+            self.next()
+            c = self.parse_pipe()
+            if self._kw() != "then":
+                raise JqError("expected 'then' after elif condition")
+            self.next()
+            branches.append((c, self.parse_pipe()))
+        else_node = None
+        if self._kw() == "else":
+            self.next()
+            else_node = self.parse_pipe()
+        if self._kw() != "end":
+            raise JqError("expected 'end' to close if")
+        self.next()
+        return ("if", branches, else_node)
+
+    def _parse_reduce(self, which: str):
+        """reduce SRC as $x (INIT; UPDATE) /
+        foreach SRC as $x (INIT; UPDATE[; EXTRACT])."""
+        self.next()  # keyword
+        src = self.parse_postfix()
+        t = self.next()
+        if not (t.kind == "ident" and t.value == "as"):
+            raise JqError(f"expected 'as' after {which} source")
+        v = self.next()
+        if v.kind != "var":
+            raise JqError(f"expected $name after '{which} ... as'")
+        self.expect("(")
+        init = self.parse_pipe()
+        self.expect(";")
+        update = self.parse_pipe()
+        extract = None
+        if which == "foreach" and self.peek().kind == ";":
+            self.next()
+            extract = self.parse_pipe()
+        self.expect(")")
+        return (which, src, v.value, init, update, extract)
 
     def _parse_object(self):
         fields: list[tuple[Any, Any]] = []
@@ -591,69 +689,69 @@ def _contains(a: Any, b: Any) -> bool:
     return _cmp_values(a, b) == 0
 
 
-def _eval(node, value: Any) -> Iterator[Any]:
+def _eval(node, value: Any, env: dict[str, Any] | None = None) -> Iterator[Any]:
     kind = node[0]
     if kind == "identity":
         yield value
     elif kind == "lit":
         yield node[1]
     elif kind == "pipe":
-        for mid in _eval(node[1], value):
-            yield from _eval(node[2], mid)
+        for mid in _eval(node[1], value, env):
+            yield from _eval(node[2], mid, env)
     elif kind == "comma":
-        yield from _eval(node[1], value)
-        yield from _eval(node[2], value)
+        yield from _eval(node[1], value, env)
+        yield from _eval(node[2], value, env)
     elif kind == "alt":
         produced = False
         try:
-            for v in _eval(node[1], value):
+            for v in _eval(node[1], value, env):
                 if _truthy(v):
                     produced = True
                     yield v
         except JqError:
             pass
         if not produced:
-            yield from _eval(node[2], value)
+            yield from _eval(node[2], value, env)
     elif kind == "or":
-        for a in _eval(node[1], value):
+        for a in _eval(node[1], value, env):
             if _truthy(a):
                 yield True
             else:
-                for b in _eval(node[2], value):
+                for b in _eval(node[2], value, env):
                     yield _truthy(b)
     elif kind == "and":
-        for a in _eval(node[1], value):
+        for a in _eval(node[1], value, env):
             if not _truthy(a):
                 yield False
             else:
-                for b in _eval(node[2], value):
+                for b in _eval(node[2], value, env):
                     yield _truthy(b)
     elif kind == "cmp":
         op = node[1]
-        for b in _eval(node[3], value):
-            for a in _eval(node[2], value):
+        for b in _eval(node[3], value, env):
+            for a in _eval(node[2], value, env):
                 c = _cmp_values(a, b)
                 yield {"==": c == 0, "!=": c != 0, "<": c < 0,
                        ">": c > 0, "<=": c <= 0, ">=": c >= 0}[op]
     elif kind == "arith":
         op = node[1]
-        for b in _eval(node[3], value):
-            for a in _eval(node[2], value):
+        for b in _eval(node[3], value, env):
+            for a in _eval(node[2], value, env):
                 yield _arith(op, a, b)
     elif kind == "neg":
-        for a in _eval(node[1], value):
+        for a in _eval(node[1], value, env):
             if isinstance(a, bool) or not isinstance(a, (int, float)):
                 raise JqError(f"{_type_name(a)} cannot be negated")
             yield -a
     elif kind == "index":
-        for base in _eval(node[1], value):
-            for key in _eval(node[2], value):
+        for base in _eval(node[1], value, env):
+            for key in _eval(node[2], value, env):
                 yield _index(base, key)
     elif kind == "slice":
         _, base_n, lo_n, hi_n = node
-        los = [None] if lo_n is None else list(_eval(lo_n, value))
-        his = [None] if hi_n is None else list(_eval(hi_n, value))
-        for base in _eval(base_n, value):
+        los = [None] if lo_n is None else list(_eval(lo_n, value, env))
+        his = [None] if hi_n is None else list(_eval(hi_n, value, env))
+        for base in _eval(base_n, value, env):
             for hi in his:
                 for lo in los:
                     if base is None:
@@ -666,7 +764,7 @@ def _eval(node, value: Any) -> Iterator[Any]:
                         None if lo is None else int(lo):
                         None if hi is None else int(hi)]
     elif kind == "iterate":
-        for base in _eval(node[1], value):
+        for base in _eval(node[1], value, env):
             if isinstance(base, list):
                 yield from base
             elif isinstance(base, dict):
@@ -675,16 +773,16 @@ def _eval(node, value: Any) -> Iterator[Any]:
                 raise JqError(f"Cannot iterate over {_type_name(base)}")
     elif kind == "try":
         try:
-            yield from list(_eval(node[1], value))
+            yield from list(_eval(node[1], value, env))
         except JqError:
             return
     elif kind == "array":
-        yield [] if node[1] is None else list(_eval(node[1], value))
+        yield [] if node[1] is None else list(_eval(node[1], value, env))
     elif kind == "object":
         fields = node[1]
         combos: list[dict[str, Any]] = [{}]
         for key, val_node in fields:
-            vals = list(_eval(val_node, value))
+            vals = list(_eval(val_node, value, env))
             combos = [{**c, key: v} for v in vals for c in combos]
         yield from combos
     elif kind == "interp_string":
@@ -694,12 +792,60 @@ def _eval(node, value: Any) -> Iterator[Any]:
                 for p in pieces:
                     p.append(part)
             else:
-                vals = [_stringify(v) for v in _eval(part[1], value)]
+                vals = [_stringify(v) for v in _eval(part[1], value, env)]
                 pieces = [p + [v] for v in vals for p in pieces]
         for p in pieces:
             yield "".join(p)
     elif kind == "call":
-        yield from _call(node[1], node[2], value)
+        yield from _call(node[1], node[2], value, env)
+    elif kind == "var":
+        if env is None or node[1] not in env:
+            raise JqError(f"${node[1]} is not defined")
+        yield env[node[1]]
+    elif kind == "bind":
+        for v in _eval(node[1], value, env):
+            yield from _eval(node[3], value, {**(env or {}), node[2]: v})
+    elif kind == "if":
+        branches, else_node = node[1], node[2]
+
+        def _run_if(i: int, val):
+            if i == len(branches):
+                if else_node is None:
+                    yield val
+                else:
+                    yield from _eval(else_node, val, env)
+                return
+            cond, then = branches[i]
+            for c in _eval(cond, val, env):
+                if _truthy(c):
+                    yield from _eval(then, val, env)
+                else:
+                    yield from _run_if(i + 1, val)
+
+        yield from _run_if(0, value)
+    elif kind == "reduce":
+        _, src, var, init, update, _ = node
+        for acc0 in _eval(init, value, env):
+            acc = acc0
+            for v in _eval(src, value, env):
+                e2 = {**(env or {}), var: v}
+                nxt = None  # jq: empty update stream -> null accumulator
+                for o in _eval(update, acc, e2):
+                    nxt = o
+                acc = nxt
+            yield acc
+    elif kind == "foreach":
+        _, src, var, init, update, extract = node
+        for acc0 in _eval(init, value, env):
+            acc = acc0
+            for v in _eval(src, value, env):
+                e2 = {**(env or {}), var: v}
+                for o in _eval(update, acc, e2):
+                    acc = o
+                    if extract is None:
+                        yield o
+                    else:
+                        yield from _eval(extract, o, e2)
     else:  # pragma: no cover
         raise JqError(f"internal: unknown node {kind!r}")
 
@@ -710,17 +856,17 @@ def _one_arg(name: str, args: list) -> Any:
     return args[0]
 
 
-def _const_arg(name: str, args: list, value: Any) -> Any:
-    outs = list(_eval(_one_arg(name, args), value))
+def _const_arg(name: str, args: list, value: Any, env: dict[str, Any] | None = None) -> Any:
+    outs = list(_eval(_one_arg(name, args), value, env))
     if len(outs) != 1:
         raise JqError(f"{name}: argument must produce exactly one value")
     return outs[0]
 
 
-def _call(name: str, args: list, value: Any) -> Iterator[Any]:
+def _call(name: str, args: list, value: Any, env: dict[str, Any] | None = None) -> Iterator[Any]:
     if name == "select":
         f = _one_arg("select", args)
-        for ok in _eval(f, value):
+        for ok in _eval(f, value, env):
             if _truthy(ok):
                 yield value
     elif name == "map":
@@ -729,7 +875,7 @@ def _call(name: str, args: list, value: Any) -> Iterator[Any]:
             raise JqError(f"Cannot iterate over {_type_name(value)} (map)")
         out: list[Any] = []
         for item in value:
-            out.extend(_eval(f, item))
+            out.extend(_eval(f, item, env))
         yield out
     elif name == "length":
         _no_args(name, args)
@@ -755,7 +901,7 @@ def _call(name: str, args: list, value: Any) -> Iterator[Any]:
         if value is not None:
             yield value
     elif name == "has":
-        k = _const_arg("has", args, value)
+        k = _const_arg("has", args, value, env)
         if isinstance(value, dict):
             yield isinstance(k, str) and k in value
         elif isinstance(value, list):
@@ -763,9 +909,9 @@ def _call(name: str, args: list, value: Any) -> Iterator[Any]:
         else:
             raise JqError(f"Cannot check has() on {_type_name(value)}")
     elif name == "contains":
-        yield _contains(value, _const_arg("contains", args, value))
+        yield _contains(value, _const_arg("contains", args, value, env))
     elif name == "inside":
-        yield _contains(_const_arg("inside", args, value), value)
+        yield _contains(_const_arg("inside", args, value, env), value)
     elif name == "group_by":
         f = _one_arg("group_by", args)
         _need_array(name, value)
@@ -834,7 +980,7 @@ def _call(name: str, args: list, value: Any) -> Iterator[Any]:
             _need_array(name, value)
             yield value[::-1]
     elif name == "flatten":
-        depth = int(_const_arg(name, args, value)) if args else 1 << 30
+        depth = int(_const_arg(name, args, value, env)) if args else 1 << 30
         _need_array(name, value)
 
         def flat(arr, d):
@@ -848,7 +994,7 @@ def _call(name: str, args: list, value: Any) -> Iterator[Any]:
     elif name == "range":
         if not 1 <= len(args) <= 3:
             raise JqError("range expects 1-3 arguments")
-        vals = [_const_arg("range", [a], value) for a in args]
+        vals = [_const_arg("range", [a], value, env) for a in args]
         lo, hi, step = ((0, vals[0], 1) if len(vals) == 1 else
                         (vals[0], vals[1], 1) if len(vals) == 2 else
                         (vals[0], vals[1], vals[2]))
@@ -891,11 +1037,11 @@ def _call(name: str, args: list, value: Any) -> Iterator[Any]:
         _no_args(name, args)
         return
     elif name == "error":
-        msg = _const_arg("error", args, value) if args else value
+        msg = _const_arg("error", args, value, env) if args else value
         raise JqError(f"error: {msg}")
     elif name == "first":
         if args:
-            for v in _eval(args[0], value):
+            for v in _eval(args[0], value, env):
                 yield v
                 return
         else:
@@ -903,7 +1049,7 @@ def _call(name: str, args: list, value: Any) -> Iterator[Any]:
             yield value[0] if value else None
     elif name == "last":
         if args:
-            outs = list(_eval(args[0], value))
+            outs = list(_eval(args[0], value, env))
             yield outs[-1] if outs else None
         else:
             _need_array(name, value)
@@ -913,17 +1059,17 @@ def _call(name: str, args: list, value: Any) -> Iterator[Any]:
         if len(args) == 2:  # any(gen; cond): cond over each gen output
             gen, cond = args
             yield comb(_truthy(c)
-                       for g in _eval(gen, value) for c in _eval(cond, g))
+                       for g in _eval(gen, value, env) for c in _eval(cond, g, env))
         elif len(args) == 1:  # any(f): f over each array element
             _need_array(name, value)
             yield comb(_truthy(v)
-                       for item in value for v in _eval(args[0], item))
+                       for item in value for v in _eval(args[0], item, env))
         else:
             _need_array(name, value)
             yield comb(_truthy(v) for v in value)
     elif name in ("startswith", "endswith", "ltrimstr", "rtrimstr", "split",
                   "join"):
-        arg = _const_arg(name, args, value)
+        arg = _const_arg(name, args, value, env)
         if name == "join":
             _need_array(name, value)
             if not isinstance(arg, str):

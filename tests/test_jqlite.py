@@ -49,8 +49,7 @@ def test_object_construction():
 
 def test_lines_output_and_errors():
     assert query_lines(".[].id", DATA).splitlines() == ['"alice"', '"bob"', '"carol"']
-    with pytest.raises(JqError):
-        query("reduce .[] as $x (0; .+1)", DATA)  # unsupported → explicit error
+    assert query("reduce .[] as $x (0; .+1)", DATA) == [3]
 
 
 SEGS = [
@@ -153,11 +152,32 @@ def test_jq_total_order():
 
 
 def test_unsupported_fails_loudly():
-    for bad in ("reduce .[] as $x (0; .+1)", "if .a then 1 else 2 end",
-                "$var", ".a = 3", ".a |= 3", "def f: .; f", "..",
-                "@base64", "nosuchfn(.)"):
+    for bad in ("$undefined_var", ".a = 3", ".a |= 3", "def f: .; f", "..",
+                "@base64", "nosuchfn(.)", ". as [$a] | $a"):
         with pytest.raises(JqError):
             query(bad, SEGS)
+
+
+def test_variables_if_reduce_foreach():
+    """The jq constructs the reference's ad-hoc workflows lean on
+    (r2 VERDICT weak #6): bindings, conditionals, folds."""
+    assert query("if .[0].start > 1 then \"late\" else \"early\" end",
+                 SEGS) == ["late"]
+    assert query("if false then 1 end", {"a": 1}) == [{"a": 1}]  # default else
+    assert query("if .x then 1 elif .y then 2 else 3 end",
+                 {"y": True}) == [2]
+    assert query(". as $all | .[0].end - $all[0].start", SEGS) == [2.5]
+    assert query(".[] as $s | $s.trust_level", SEGS) == ["low", "high"]
+    assert query("reduce .[] as $s (0; . + ($s.end - $s.start))",
+                 SEGS) == [7.5]
+    assert query("reduce .[] as $x (0; if $x > . then $x else . end)",
+                 [3, 9, 4]) == [9]
+    assert query("foreach .[] as $x (0; . + $x)", [1, 2, 3]) == [1, 3, 6]
+    assert query("foreach .[] as $x (0; . + $x; . * 10)",
+                 [1, 2, 3]) == [10, 30, 60]
+    assert query("(1, 2) as $x | $x * 10", None) == [10, 20]
+    # keyword-named FIELDS still work (.end is a field, `. as` a binding)
+    assert query(".[] | .end", SEGS) == [3.75, 9.0]
 
 
 def test_optional_suppresses_type_errors():
@@ -174,4 +194,7 @@ def test_cli_query_wired(speakers_dir, capsys):
     capsys.readouterr()
     assert cli_det.main(["query", '.[] | select(.id == "zoe") | .names.default']) == 0
     assert capsys.readouterr().out.strip() == '"Zoe"'
-    assert cli_det.main(["query", "reduce .[] as $x (0; .+1)"]) == 1
+    capsys.readouterr()
+    assert cli_det.main(["query", "reduce .[] as $x (0; .+1)"]) == 0
+    assert capsys.readouterr().out.strip() == "1"  # one profile counted
+    assert cli_det.main(["query", ".a = 3"]) == 1  # assignment stays loud
