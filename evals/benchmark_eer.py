@@ -46,16 +46,20 @@ def main() -> int:
 
     backend = get_backend(args.backend)
 
-    def embed(spk: int, utt: int) -> np.ndarray:
+    def make(spk: int, utt: int) -> np.ndarray:
         wav = heldout_utterance(spk, utt, args.seconds)
-        wav = apply_tier(wav, args.tier, seed=1000 * spk + utt,
-                         snr_db=args.snr_db)
-        return backend.embed_waveform(wav)
+        return apply_tier(wav, args.tier, seed=1000 * spk + utt,
+                          snr_db=args.snr_db)
+
+    def embed_all(wavs: list[np.ndarray]) -> np.ndarray:
+        if hasattr(backend, "embed_batch"):  # one device call per 16
+            return np.asarray(backend.embed_batch(wavs))
+        return np.stack([backend.embed_waveform(w) for w in wavs])
 
     n_spk, n_trial = args.speakers, args.trials_per_speaker
-    enroll = np.stack([embed(s, 0) for s in range(n_spk)])  # (S, D)
-    trials = np.stack(
-        [embed(s, 1 + t) for s in range(n_spk) for t in range(n_trial)]
+    enroll = embed_all([make(s, 0) for s in range(n_spk)])  # (S, D)
+    trials = embed_all(
+        [make(s, 1 + t) for s in range(n_spk) for t in range(n_trial)]
     )  # (S*T, D)
     trial_spk = np.repeat(np.arange(n_spk), n_trial)
 

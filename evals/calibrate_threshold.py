@@ -92,17 +92,24 @@ def main() -> int:
 
         aug_spec = AugmentSpec.uniform(args.augment_prob)
 
-    def embed(spk: int, utt: int) -> np.ndarray:
+    def make(spk: int, utt: int) -> np.ndarray:
         fam = families[spk % len(families)]
         wav = family_utterance(fam, args.base_id + spk, utt, args.seconds)
         if aug_spec is not None:
             wav = augment_batch(wav[None, :], aug_rng, aug_spec)[0]
-        return np.asarray(backend.embed_waveform(wav), np.float32)
+        return np.asarray(wav, np.float32)
+
+    def embed_all(wavs: list[np.ndarray]) -> np.ndarray:
+        if hasattr(backend, "embed_batch"):  # one device call per 16
+            return np.asarray(backend.embed_batch(wavs), np.float32)
+        return np.stack(
+            [np.asarray(backend.embed_waveform(w), np.float32) for w in wavs]
+        )
 
     n_spk, n_trial = args.speakers, args.trials_per_speaker
-    enroll = np.stack([embed(s, 0) for s in range(n_spk)])
-    trials = np.stack(
-        [embed(s, 1 + t) for s in range(n_spk) for t in range(n_trial)]
+    enroll = embed_all([make(s, 0) for s in range(n_spk)])
+    trials = embed_all(
+        [make(s, 1 + t) for s in range(n_spk) for t in range(n_trial)]
     )
     trial_spk = np.repeat(np.arange(n_spk), n_trial)
 
@@ -113,9 +120,9 @@ def main() -> int:
     # calibration speakers (ids offset another 100k).
     cohort = None
     if args.cohort_size > 0:
-        cohort = unit(np.stack([
-            embed(100_000 + i, 0) for i in range(args.cohort_size)
-        ]))
+        cohort = unit(embed_all(
+            [make(100_000 + i, 0) for i in range(args.cohort_size)]
+        ))
 
     raw = unit(trials) @ unit(enroll).T  # (S*T, S)
     idx = np.arange(len(trials))

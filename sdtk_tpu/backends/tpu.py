@@ -120,7 +120,35 @@ class TpuBackend(LocalEmbeddingBackend):
         return self.engine.embed_all_windows(np.asarray(wav, np.float32))
 
     def embed_batch(self, wavs: list[np.ndarray]) -> np.ndarray:
-        return np.stack([self.engine.embed_one(w) for w in wavs])
+        """Batch many waveforms through the static window program.
+
+        Window-sized (≤3 s) same-length waveforms pack 16-per-device-call
+        as rows of the (max_windows, L) program — one tunnel round trip
+        per 16 utterances instead of per utterance (the eval harnesses
+        are RTT-bound, not compute-bound).  Longer/ragged input falls
+        back to per-utterance pooling."""
+        if not wavs:
+            return np.zeros((0, self.engine.emb_dim), np.float32)
+        eng = self.engine
+        L = eng.window_len
+        n0 = len(wavs[0])
+        if n0 <= L and all(len(w) == n0 for w in wavs):
+            N, W = len(wavs), eng.max_windows
+            arr = np.zeros((N, L), dtype=np.float32)
+            for i, w in enumerate(wavs):
+                arr[i, : len(w)] = w
+            lengths = np.full(N, max(n0, eng.cfg.win_length), np.int32)
+            out = []
+            for s in range(0, N, W):
+                chunk, lens = arr[s : s + W], lengths[s : s + W]
+                n = chunk.shape[0]
+                if n < W:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((W - n, L), np.float32)])
+                    lens = np.concatenate([lens, np.zeros(W - n, np.int32)])
+                out.append(np.asarray(eng._embed_jit(chunk, lens))[:n])
+            return np.concatenate(out, axis=0)
+        return np.stack([eng.embed_one(w) for w in wavs])
 
 
 class _EmbedEngine:
