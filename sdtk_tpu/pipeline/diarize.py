@@ -160,15 +160,30 @@ class Diarizer:
         with stage("diarize.embed"):
             emb = self._embed_windows(wav, speech_starts)
         with stage("diarize.cluster"):
-            labels, n_spk = spectral_cluster(
-                emb, n_speakers=cfg.n_speakers, max_speakers=cfg.max_speakers,
-                merge_tau=(
-                    cfg.merge_tau
-                    if cfg.merge_tau is not None
-                    else getattr(self.backend, "cluster_merge_tau", 0.47)
-                ),
-                merge_rel=getattr(self.backend, "cluster_merge_rel", None),
+            tau = (
+                cfg.merge_tau
+                if cfg.merge_tau is not None
+                else getattr(self.backend, "cluster_merge_tau", 0.47)
             )
+            if cfg.n_speakers is None:
+                # Auto speaker count via turn-level statistics
+                # (cluster/turns.py): window-level linkage cannot count
+                # speakers on hard domains (r3 finding — the r2 rule
+                # collapsed every held-out meeting to k=1).
+                from ..cluster.turns import turn_cluster
+
+                labels, n_spk = turn_cluster(
+                    emb, speech_starts, hop_s=cfg.hop_seconds, tau=tau,
+                    rel=getattr(self.backend, "cluster_merge_rel", None)
+                    or 0.75,
+                    max_speakers=cfg.max_speakers,
+                )
+            else:
+                labels, n_spk = spectral_cluster(
+                    emb, n_speakers=cfg.n_speakers,
+                    max_speakers=cfg.max_speakers, merge_tau=tau,
+                    merge_rel=getattr(self.backend, "cluster_merge_rel", None),
+                )
         if cfg.resegment:
             from ..cluster.resegment import resegment
 

@@ -159,13 +159,15 @@ class OnlineDiarizer:
             return {"segments": [], "n_speakers": 0}
         if recluster and len(st.window_embs) >= 4:
             from ..cluster.resegment import resegment
-            from ..cluster.spectral import spectral_cluster
+            from ..cluster.turns import turn_cluster
 
             emb = np.stack(st.window_embs)
-            labels, k = spectral_cluster(
-                emb, max_speakers=self.cfg.max_speakers,
-                merge_tau=getattr(self.backend, "cluster_merge_tau", 0.47),
-                merge_rel=getattr(self.backend, "cluster_merge_rel", None),
+            labels, k = turn_cluster(
+                emb, np.asarray(st.window_starts),
+                hop_s=self.cfg.hop_seconds,
+                tau=getattr(self.backend, "cluster_merge_tau", 0.47),
+                rel=getattr(self.backend, "cluster_merge_rel", None) or 0.75,
+                max_speakers=self.cfg.max_speakers,
             )
             if k > 1:
                 labels = resegment(emb, labels, k)

@@ -97,12 +97,14 @@ def test_merge_count_respects_tau():
     assert merge_count(e, labels0, tau=-1.0)[0] == 1
 
 
-def test_diarizer_uses_backend_merge_tau(speakers_dir):
-    """The backend's cluster_merge_tau flows into auto speaker counting:
-    an impossibly high bar prevents any merging (k = max_speakers)."""
+def test_diarizer_auto_count_robust_to_merge_tau(speakers_dir):
+    """Auto speaker counting no longer hinges on one absolute cosine
+    constant: turn-level statistics with evidence-based absorption
+    (cluster/turns.py) count correctly even under an impossibly high
+    absolute bar — which previously forced k = max_speakers (r2's
+    window-level rule conversely collapsed held-out meetings to k=1)."""
     from sdtk_tpu.pipeline.diarize import DiarizeConfig, Diarizer
 
-    from tests.conftest import make_wav  # noqa: F401 (fixture helper)
     from sdtk_tpu.data.synth import synth_utterance
 
     wav = np.concatenate(
@@ -110,11 +112,9 @@ def test_diarizer_uses_backend_merge_tau(speakers_dir):
     )
     d = Diarizer("fake", DiarizeConfig(max_speakers=4, merge_tau=1.01,
                                        resegment=False))
-    res = d.diarize_waveform(wav)
-    assert res["n_speakers"] == 4  # nothing merged at tau > 1
+    assert d.diarize_waveform(wav)["n_speakers"] == 2
     d2 = Diarizer("fake", DiarizeConfig(max_speakers=4))
-    res2 = d2.diarize_waveform(wav)
-    assert res2["n_speakers"] == 2  # backend default bar counts right
+    assert d2.diarize_waveform(wav)["n_speakers"] == 2
 
 
 def test_spectral_cluster_edge_cases():
