@@ -468,3 +468,51 @@ def test_overlap_meeting_synthesis_and_scoring():
     assert m["miss"] > 0.02, m
     # the full reference as hypothesis scores ~0
     assert diarization_error_rate(ref, ref, collar=0.0)["der"] < 1e-9
+
+
+def test_turn_segmentation_and_counting():
+    """cluster/turns.py unit behavior on controlled geometry: segment
+    boundaries at similarity dips, phantom singleton absorption, and the
+    1-speaker structure guard."""
+    from sdtk_tpu.cluster import turns as T
+
+    rng = np.random.default_rng(5)
+    d = 32
+
+    def voice(seed):
+        v = rng.standard_normal(d) if seed is None else \
+            np.random.default_rng(seed).standard_normal(d)
+        return v / np.linalg.norm(v)
+
+    a, b, c = voice(1), voice(2), voice(3)
+
+    def windows(base, n, noise=0.08):
+        w = base[None, :] + noise * rng.standard_normal((n, d))
+        return w / np.linalg.norm(w, axis=1, keepdims=True)
+
+    # A(5) B(5) A(4): boundaries detected, count 2
+    emb = np.concatenate([windows(a, 5), windows(b, 5), windows(a, 4)])
+    starts = np.arange(len(emb)) * 0.75
+    seg = T.turn_segment_ids(emb, starts)
+    assert seg.max() + 1 >= 3  # at least the three true turns
+    labels, k = T.turn_cluster(emb, starts)
+    assert k == 2
+    assert labels[0] == labels[-1] and labels[0] != labels[7]
+
+    # single speaker: structure guard → k = 1
+    emb1 = windows(a, 12)
+    labels1, k1 = T.turn_cluster(emb1, np.arange(12) * 0.75)
+    assert k1 == 1 and set(labels1) == {0}
+
+    # three speakers
+    emb3 = np.concatenate([windows(a, 5), windows(b, 5), windows(c, 5),
+                           windows(a, 5), windows(b, 5)])
+    _, k3 = T.turn_cluster(emb3, np.arange(len(emb3)) * 0.75)
+    assert k3 == 3
+
+    # a single boundary-straddling window between A and B must not
+    # become a phantom third speaker
+    mid = (a + b) / np.linalg.norm(a + b)
+    embp = np.concatenate([windows(a, 5), mid[None, :], windows(b, 5)])
+    _, kp = T.turn_cluster(embp, np.arange(len(embp)) * 0.75)
+    assert kp == 2
