@@ -228,7 +228,11 @@ class _EmbedEngine:
             paths.append(Path(override))
         paths += [
             config.model_dir() / name,
-            repo_models / "ecapatdnn-synth256-aug.msgpack"
+            # Bundled default: the r3 multi-family checkpoint (five
+            # disjoint generator families; held-out clean EER 1.8%,
+            # docs/PERFORMANCE.md).  Earlier checkpoints stay in tree
+            # for A/B via $SDTK_MODEL_PATH.
+            repo_models / "ecapatdnn-fam5.msgpack"
             if self._model_name == "ecapa" and self._channels == 512
             else repo_models / name,
         ]
