@@ -33,7 +33,13 @@ class DiarizeConfig:
     resegment: bool = True  # sticky-HMM Viterbi smoothing of window labels
     merge_tau: float | None = None  # same-speaker merge bar; None = backend's
     detect_overlap: bool = False  # emit secondary-speaker segments
-    overlap_ratio: float = 0.8  # 2nd/1st centroid-similarity ratio gate
+    # 2nd/1st centroid-similarity ratio gate.  0.93 is the best measured
+    # setting on the held-out 30%-overlap tier — and even there the
+    # detector does not beat leaving it off (DER 22.5% off vs 23.6% on;
+    # overlap miss is only ~2.7% of scored time at collar 0.25 while the
+    # detector's false alarms cost more), hence off by default with the
+    # tier tracked in evals/benchmark_der.py --overlap-frac.
+    overlap_ratio: float = 0.93
     # Absolute 2nd-best similarity floor.  None (default) resolves to the
     # backend's measured same-speaker merge bar (cluster_merge_tau from
     # the calibration sidecar): "the secondary centroid is same-speaker-
