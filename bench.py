@@ -55,7 +55,10 @@ def main() -> int:
     model = EcapaTdnn(EcapaConfig(channels=512))
 
     window_s = 3.0
-    batch = int(os.environ.get("SDTK_BENCH_BATCH", "256"))
+    # Default 1024 = the measured MFU knee (r3 sweep: 512→73.1k,
+    # 1024→78.2k, 2048→63.9k audio-s/s embed-only; throughput REVERSES
+    # past 1024, so the default sits exactly on the knee).
+    batch = int(os.environ.get("SDTK_BENCH_BATCH", "1024"))
     n_samples = int(window_s * cfg.sample_rate)
 
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, cfg.n_mels)))
