@@ -26,7 +26,15 @@ probability):
 - **spectral tilt**: first-order shelving via pre-/de-emphasis, ±6
   dB/octave-ish brightness changes (microphone/distance variation);
 - **band-limiting**: Butterworth band-pass with randomized edges
-  (narrow-band channel variation).
+  (narrow-band channel variation);
+- **codec companding** (r3): µ-law-style quantization round trip plus a
+  narrow-rate resample round trip — telephone-codec nonlinearity.  The
+  r3 held-out matrix showed telephone as the worst DER tier (27.5% vs
+  11–18% elsewhere) with assignment confusion, i.e. the embedding is
+  least channel-invariant exactly where the augmentation chain had no
+  coverage.  Parameters (µ 40–255, quantizer 6–8 bit, resample rate
+  6–10 kHz drawn per example) deliberately differ from the eval tier's
+  fixed µ=255/127-level/8 kHz telephone simulation.
 """
 
 from __future__ import annotations
@@ -49,12 +57,16 @@ class AugmentSpec:
     band_prob: float = 0.0
     band_lo_range: tuple[float, float] = (100.0, 400.0)
     band_hi_range: tuple[float, float] = (3000.0, 7500.0)
+    codec_prob: float = 0.0
+    codec_mu_range: tuple[float, float] = (40.0, 255.0)
+    codec_bits_range: tuple[int, int] = (6, 8)
+    codec_rate_range: tuple[float, float] = (6000.0, 10000.0)
 
     @classmethod
     def uniform(cls, prob: float) -> "AugmentSpec":
         """Every effect at the same per-example probability."""
         return cls(speed_prob=prob, reverb_prob=prob, tilt_prob=prob,
-                   band_prob=prob)
+                   band_prob=prob, codec_prob=prob)
 
 
 def speed_perturb(wav: np.ndarray, factor: float) -> np.ndarray:
@@ -121,6 +133,31 @@ def band_limit(wav: np.ndarray, lo: float, hi: float, sr: int = SR) -> np.ndarra
     return lfilter(b, a, wav).astype(np.float32)
 
 
+def codec_compand(wav: np.ndarray, mu: float, bits: int, rate: float,
+                  sr: int = SR) -> np.ndarray:
+    """µ-law companding round trip at ``bits`` resolution plus a
+    narrow-rate resample round trip — telephone-codec nonlinearity."""
+    from scipy.signal import resample_poly
+
+    peak = float(np.max(np.abs(wav))) + 1e-9
+    x = wav / peak
+    comp = np.sign(x) * np.log1p(mu * np.abs(x)) / np.log1p(mu)
+    levels = float((1 << (bits - 1)) - 1)
+    quant = np.round(comp * levels) / levels
+    x = np.sign(quant) * np.expm1(np.abs(quant) * np.log1p(mu)) / mu
+    # integer-ratio resample round trip near the target rate
+    from math import gcd
+
+    r = int(round(rate / 100.0)) * 100
+    g = gcd(sr, r)
+    down = resample_poly(x, r // g, sr // g)
+    up = resample_poly(down, sr // g, r // g)
+    out = np.zeros(len(wav), np.float32)
+    n = min(len(wav), len(up))
+    out[:n] = up[:n]
+    return out * peak
+
+
 def augment_batch(wavs: np.ndarray, rng: np.random.Generator,
                   spec: AugmentSpec) -> np.ndarray:
     """Apply the augmentation chain per example (in place on a copy)."""
@@ -138,5 +175,13 @@ def augment_batch(wavs: np.ndarray, rng: np.random.Generator,
             lo = float(rng.uniform(*spec.band_lo_range))
             hi = float(rng.uniform(*spec.band_hi_range))
             w = band_limit(w, lo, hi)
+        if spec.codec_prob and rng.uniform() < spec.codec_prob:
+            w = codec_compand(
+                w,
+                mu=float(rng.uniform(*spec.codec_mu_range)),
+                bits=int(rng.integers(spec.codec_bits_range[0],
+                                      spec.codec_bits_range[1] + 1)),
+                rate=float(rng.uniform(*spec.codec_rate_range)),
+            )
         out[i] = w
     return out

@@ -126,3 +126,27 @@ class TestAugmentBatch:
         a = augment_batch(wavs, np.random.default_rng(7), AugmentSpec.uniform(0.5))
         b = augment_batch(wavs, np.random.default_rng(7), AugmentSpec.uniform(0.5))
         np.testing.assert_array_equal(a, b)
+
+
+def test_codec_compand_roundtrip_properties():
+    """µ-law codec augmentation: shape-preserving, deterministic given
+    parameters, genuinely lossy (nonlinearity present) but bounded."""
+    import numpy as np
+    from sdtk_tpu.data.augment import AugmentSpec, augment_batch, codec_compand
+
+    t = np.arange(16000) / 16000.0
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 3300 * t)).astype(np.float32)
+    y = codec_compand(x, mu=255.0, bits=7, rate=8000.0)
+    assert y.shape == x.shape and y.dtype == np.float32
+    err = float(((x - y) ** 2).mean())
+    assert 1e-6 < err < float((x ** 2).mean())  # lossy but not destroyed
+    # 3.3 kHz content survives an 8 kHz round trip; 6 kHz would not
+    spec = np.abs(np.fft.rfft(y))
+    assert spec[3300] > 0.1 * spec[440]
+
+    rng = np.random.default_rng(0)
+    out = augment_batch(np.stack([x, x]), rng,
+                        AugmentSpec(codec_prob=1.0))
+    assert out.shape == (2, 16000)
+    assert not np.allclose(out[0], x)
