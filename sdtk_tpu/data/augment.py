@@ -145,10 +145,13 @@ def codec_compand(wav: np.ndarray, mu: float, bits: int, rate: float,
     levels = float((1 << (bits - 1)) - 1)
     quant = np.round(comp * levels) / levels
     x = np.sign(quant) * np.expm1(np.abs(quant) * np.log1p(mu)) / mu
-    # integer-ratio resample round trip near the target rate
+    # integer-ratio resample round trip near the target rate.  Snap to
+    # multiples of 2 kHz: gcd(16k, r) stays >= 2000, so the polyphase
+    # filter bank stays tiny (awkward ratios like 87/160 made the
+    # augmentation producer the training bottleneck at ~6x the step time).
     from math import gcd
 
-    r = int(round(rate / 100.0)) * 100
+    r = max(2000, int(round(rate / 2000.0)) * 2000)
     g = gcd(sr, r)
     down = resample_poly(x, r // g, sr // g)
     up = resample_poly(down, sr // g, r // g)
