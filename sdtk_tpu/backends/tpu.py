@@ -228,11 +228,12 @@ class _EmbedEngine:
             paths.append(Path(override))
         paths += [
             config.model_dir() / name,
-            # Bundled default: the r3 multi-family checkpoint (five
-            # disjoint generator families; held-out clean EER 1.8%,
-            # docs/PERFORMANCE.md).  Earlier checkpoints stay in tree
-            # for A/B via $SDTK_MODEL_PATH.
-            repo_models / "ecapatdnn-fam5.msgpack"
+            # Bundled default: the r3 multi-family + codec-augmented
+            # checkpoint (five disjoint generator families, µ-law/
+            # resample codec augmentation; held-out EER 1.0-4.1% across
+            # tiers, docs/PERFORMANCE.md).  Earlier checkpoints stay in
+            # tree for A/B via $SDTK_MODEL_PATH.
+            repo_models / "ecapatdnn-fam5tel.msgpack"
             if self._model_name == "ecapa" and self._channels == 512
             else repo_models / name,
         ]
