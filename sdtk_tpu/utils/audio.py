@@ -142,7 +142,29 @@ def _decode_mpeg(path: str | Path) -> tuple[np.ndarray, int]:
                     f"{path}: {first_party_err} (system codec also "
                     f"failed: {e})"
                 ) from e
+        try:
+            return _decode_av(path)
+        except AudioFormatError:
+            pass
         raise AudioFormatError(f"{path}: {first_party_err}") from first_party_err
+
+
+def _decode_av(path: str | Path) -> tuple[np.ndarray, int]:
+    """System AV-library decode (utils/avio.py): the in-process stand-in
+    for the reference's ffmpeg subprocess tier (speaker-process:52 accepts
+    .m4a/.ogg/.opus/.aac/.wma).  Raises the explicit skip-with-codec-reason
+    AudioFormatError when the host lacks the ffmpeg shared libraries."""
+    from . import avio
+
+    if not avio.available():
+        raise AudioFormatError(
+            f"cannot decode {path}: requires the system AV libraries "
+            f"(libavformat/libavcodec), not present on this host"
+        )
+    try:
+        return avio.decode_file(str(path))
+    except avio.AvError as e:
+        raise AudioFormatError(f"AV decode failed for {path}: {e}") from e
 
 
 # extension -> decoder producing (float32 [T, C], sample_rate)
@@ -152,6 +174,14 @@ _DECODERS = {
     ".mp3": _decode_mpeg,
     ".mp2": _decode_mpeg,
     ".mpga": _decode_mpeg,
+    ".m4a": _decode_av,
+    ".aac": _decode_av,
+    ".mp4": _decode_av,
+    ".ogg": _decode_av,
+    ".opus": _decode_av,
+    ".wma": _decode_av,
+    ".webm": _decode_av,
+    ".mka": _decode_av,
 }
 
 
@@ -207,8 +237,8 @@ def load_audio(
     if decoder is None:
         raise AudioFormatError(
             f"unsupported container: {path.suffix} — supported: "
-            f"{', '.join(sorted(_DECODERS))} (first-party decoders; no ffmpeg "
-            f"in this environment)"
+            f"{', '.join(sorted(_DECODERS))} (first-party + in-process "
+            f"system codecs; no ffmpeg CLI required)"
         )
     if mono and ext == ".wav":
         native = _load_audio_native(path, target_sr)
