@@ -134,18 +134,21 @@ def _decode_mpeg(path: str | Path) -> tuple[np.ndarray, int]:
     except UnsupportedFormatError as first_party_err:
         from . import syscodec
 
+        sys_err: Exception | None = None
         if syscodec.mpg123_available():
             try:
                 return syscodec.decode_mpeg(data)
             except syscodec.SysCodecError as e:
-                raise AudioFormatError(
-                    f"{path}: {first_party_err} (system codec also "
-                    f"failed: {e})"
-                ) from e
+                sys_err = e  # fall through to the widest (AV) tier
         try:
             return _decode_av(path)
         except AudioFormatError:
             pass
+        if sys_err is not None:
+            raise AudioFormatError(
+                f"{path}: {first_party_err} (system codec also "
+                f"failed: {sys_err})"
+            ) from sys_err
         raise AudioFormatError(f"{path}: {first_party_err}") from first_party_err
 
 
@@ -159,7 +162,7 @@ def _decode_av(path: str | Path) -> tuple[np.ndarray, int]:
     if not avio.available():
         raise AudioFormatError(
             f"cannot decode {path}: requires the system AV libraries "
-            f"(libavformat/libavcodec), not present on this host"
+            f"(libavformat/libavcodec) — {avio.disabled_reason()}"
         )
     try:
         return avio.decode_file(str(path))

@@ -46,6 +46,7 @@ __all__ = [
     "AvError",
     "available",
     "decode_file",
+    "disabled_reason",
     "encode_file",
     "encoder_for_extension",
     "version_info",
@@ -121,6 +122,12 @@ class _Abi:
         self.ctx_sample_fmt = -1
         self.frm_sample_rate = -1
         self.frm_ch_layout = -1
+        # Set by _probe_encode: the encode path writes raw memory through
+        # offsets the decode probe never exercises (_FMT_PB, _FRM_PTS,
+        # manual AVFrame writes), so it earns its own verified flag via a
+        # full encode→decode round trip instead of riding decode's.
+        self.encode_verified = False
+        self.encode_error: str | None = None
         self._probe()
 
     # -- library loading ----------------------------------------------------
@@ -285,15 +292,66 @@ class _Abi:
             decoded, got_rate = self.decode(path)
             if got_rate != rate or decoded.shape[0] != n:
                 raise AvError("probe decode shape mismatch")
-            err = float(np.abs(decoded[:, 0] - ref.astype(np.float32)).max())
+            # Compare against the int16-quantized signal actually encoded
+            # in the probe WAV, not the unquantized float reference.
+            expected = pcm.astype(np.float32) / 32768.0
+            err = float(np.abs(decoded[:, 0] - expected).max())
             if err > 1e-3:
                 raise AvError(f"probe decode sample mismatch ({err})")
+            self._probe_encode(rate)
         finally:
             for p in (path, path2):
                 try:
                     os.unlink(p)
                 except OSError:
                     pass
+
+    def _probe_encode(self, rate: int) -> None:
+        """Encode a short tone through the first available encoder/muxer
+        pair and decode it back.  Success flips ``encode_verified``; any
+        failure leaves encode disabled (with the reason recorded) WITHOUT
+        touching decode availability — the encode path writes through
+        probed offsets that decode never exercises."""
+        import os
+        import tempfile
+
+        tone = np.sin(
+            2 * np.pi * 440.0 * np.arange(rate // 2) / rate
+        ).astype(np.float32) * 0.3
+        for ext in (".m4a", ".ogg", ".opus", ".wma"):
+            names = _ENCODERS_BY_EXT[ext]
+            if not any(
+                self.avcodec.avcodec_find_encoder_by_name(n.encode())
+                for n in names
+            ):
+                continue
+            fd, path = tempfile.mkstemp(suffix=ext, prefix="avprobe-enc-")
+            os.close(fd)
+            try:
+                enc_rate = 16000  # codec-safe rate (opus/aac support it)
+                t2 = np.arange(enc_rate // 2) / enc_rate
+                sig = (np.sin(2 * np.pi * 440.0 * t2) * 0.3).astype(np.float32)
+                self.encode(path, sig, enc_rate, names, 96000)
+                decoded, got_rate = self.decode(path)
+                if decoded.shape[0] < enc_rate // 4 or got_rate <= 0:
+                    raise AvError(
+                        f"encode probe round-trip too short via {ext}"
+                    )
+                # lossy codec: require rough energy agreement, not bits
+                rms = float(np.sqrt(np.mean(decoded[:, 0] ** 2)))
+                if not (0.05 < rms < 0.6):
+                    raise AvError(f"encode probe energy off via {ext} ({rms})")
+                self.encode_verified = True
+                return
+            except Exception as e:  # noqa: BLE001 - record, don't raise
+                self.encode_error = f"{ext}: {e}"
+            finally:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+        if self.encode_error is None:
+            self.encode_error = "no known encoder present in libavcodec"
 
     def _probe_offsets(self, wav_path: str, rate: int) -> None:
         f, c, u = self.avformat, self.avcodec, self.avutil
@@ -648,14 +706,18 @@ def _to_float32(a: np.ndarray) -> np.ndarray:
     return a.astype(np.float32, copy=False)
 
 
+_abi_error: str | None = None
+
+
 def _get_abi() -> "_Abi | None":
-    global _abi
+    global _abi, _abi_error
     with _lock:
         if _abi is None:
             try:
                 _abi = _Abi()
-            except Exception:
+            except Exception as e:  # noqa: BLE001 - any probe failure disables
                 _abi = False
+                _abi_error = f"{type(e).__name__}: {e}"
     return _abi or None
 
 
@@ -663,6 +725,14 @@ def available() -> bool:
     """True when the ffmpeg shared libraries loaded AND every ABI probe
     verified (see module docstring)."""
     return _get_abi() is not None
+
+
+def disabled_reason() -> str | None:
+    """Why the AV tier is unavailable (None when it IS available).
+    Surfaces the probe failure that would otherwise be silent."""
+    if _get_abi() is not None:
+        return None
+    return _abi_error or "unknown probe failure"
 
 
 def version_info() -> dict[str, int]:
@@ -680,9 +750,14 @@ def decode_file(path: str) -> tuple[np.ndarray, int]:
     sample_rate).  Raises AvError when unavailable or undecodable."""
     abi = _get_abi()
     if abi is None:
-        raise AvError("system AV libraries unavailable on this host")
-    with _lock:
-        return abi.decode(str(path))
+        raise AvError(
+            "system AV libraries unavailable on this host"
+            f" ({_abi_error or 'not found'})"
+        )
+    # No module lock here: each decode allocates independent contexts and
+    # libavformat/libavcodec are thread-safe across independent contexts;
+    # serializing decodes process-wide starved the threaded producer.
+    return abi.decode(str(path))
 
 
 def encoder_for_extension(ext: str) -> tuple[str, ...]:
@@ -691,7 +766,7 @@ def encoder_for_extension(ext: str) -> tuple[str, ...]:
 
 def can_encode(ext: str) -> bool:
     abi = _get_abi()
-    if abi is None:
+    if abi is None or not abi.encode_verified:
         return False
     return any(
         abi.avcodec.avcodec_find_encoder_by_name(n.encode())
@@ -709,9 +784,16 @@ def encode_file(
 
     abi = _get_abi()
     if abi is None:
-        raise AvError("system AV libraries unavailable on this host")
+        raise AvError(
+            "system AV libraries unavailable on this host"
+            f" ({_abi_error or 'not found'})"
+        )
+    if not abi.encode_verified:
+        raise AvError(
+            f"AV encode path not probe-verified on this host"
+            f" ({abi.encode_error})"
+        )
     names = encoder_for_extension(Path(str(path)).suffix)
     if not names:
         raise AvError(f"no encoder mapping for extension of {path}")
-    with _lock:
-        abi.encode(str(path), x, int(sample_rate), names, bitrate_kbps * 1000)
+    abi.encode(str(path), x, int(sample_rate), names, bitrate_kbps * 1000)
