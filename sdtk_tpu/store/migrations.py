@@ -109,6 +109,12 @@ def migrate_sample_metadata(
     )
 
 
+def needs_migration(obj: dict[str, Any], target_version: int) -> bool:
+    """True when ``obj`` is below ``target_version``
+    (reference migrations.py:238-240)."""
+    return obj.get("version", 0) < target_version
+
+
 def get_migration_plan(kind: str, from_version: int) -> list[tuple[int, int]]:
     """Ordered list of migration steps needed (reference migrations.py:247-270)."""
     registry, target = {

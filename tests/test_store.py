@@ -149,6 +149,32 @@ def test_migrations():
     assert m2["b3sum"] is None
 
 
+def test_migration_introspection():
+    """Plan/describe/needs parity (reference migrations.py:238-299)."""
+    from sdtk_tpu.store.migrations import (
+        PROFILE_SCHEMA_VERSION,
+        SAMPLE_METADATA_VERSION,
+        describe_migrations,
+        get_migration_plan,
+        needs_migration,
+    )
+
+    assert get_migration_plan("profile", 0) == [(0, 1)]
+    assert get_migration_plan("profile", PROFILE_SCHEMA_VERSION) == []
+    assert get_migration_plan("sample_metadata", 0) == [(0, 1), (1, 2)]
+    assert get_migration_plan("sample_metadata", 1) == [(1, 2)]
+    assert get_migration_plan("sample_metadata", SAMPLE_METADATA_VERSION) == []
+
+    assert needs_migration({}, PROFILE_SCHEMA_VERSION)
+    assert needs_migration({"version": 1}, SAMPLE_METADATA_VERSION)
+    assert not needs_migration({"version": SAMPLE_METADATA_VERSION},
+                               SAMPLE_METADATA_VERSION)
+
+    desc = describe_migrations()
+    assert f"v{PROFILE_SCHEMA_VERSION}" in desc
+    assert "v0 -> v1" in desc and "v1 -> v2" in desc
+
+
 def test_catalog_flow(speakers_dir, tmp_path):
     wav = make_wav(tmp_path / "rec.wav", seconds=2.0, seed=3)
     catalog.create_context("standup", speakers=["alice", "bob"])
