@@ -181,6 +181,15 @@ class LocalEmbeddingBackend(EmbeddingBackend):
     def embed_waveform(self, wav: np.ndarray) -> np.ndarray:
         """float32 mono waveform @ self.sample_rate → (embedding_dim,)."""
 
+    def embed_batch(self, wavs: "list[np.ndarray]") -> np.ndarray:
+        """Embed many waveforms → (N, embedding_dim).  Default loops
+        embed_waveform; device backends override with true batch packing
+        (TpuBackend packs 16 same-length windows per device call, which
+        the streaming/eval paths are RTT-bound on)."""
+        if not wavs:
+            return np.zeros((0, self.embedding_dim), np.float32)
+        return np.stack([np.asarray(self.embed_waveform(w)) for w in wavs])
+
     def score_matrix(self, queries: np.ndarray, profiles: np.ndarray
                      ) -> np.ndarray:
         """(Q, D) queries vs (P, D) profiles → calibrated scores (Q, P):
