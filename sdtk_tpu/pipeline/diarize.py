@@ -33,19 +33,17 @@ class DiarizeConfig:
     resegment: bool = True  # sticky-HMM Viterbi smoothing of window labels
     merge_tau: float | None = None  # same-speaker merge bar; None = backend's
     detect_overlap: bool = False  # emit secondary-speaker segments
-    # 2nd/1st centroid-similarity ratio gate.  0.93 is the best measured
-    # setting on the held-out 30%-overlap tier — and even there the
-    # detector does not beat leaving it off (DER 22.5% off vs 23.6% on;
-    # overlap miss is only ~2.7% of scored time at collar 0.25 while the
-    # detector's false alarms cost more), hence off by default with the
-    # tier tracked in evals/benchmark_der.py --overlap-frac.
-    overlap_ratio: float = 0.93
-    # Absolute 2nd-best similarity floor.  None (default) resolves to the
-    # backend's measured same-speaker merge bar (cluster_merge_tau from
-    # the calibration sidecar): "the secondary centroid is same-speaker-
-    # close" is the right absolute notion, and a fixed 0.7 would carry
-    # one geometry across domains (the r2 fragility class).
-    overlap_min_sim: float | None = None
+    # Residual-alignment bar: a window is overlapped when, after removing
+    # its assigned speaker's centroid component, the residual direction
+    # aligns this strongly with another speaker's (orthogonalized)
+    # centroid.  Chance alignment of a pure window's residual is
+    # ~1/sqrt(D) ≈ 0.07 at D=192; mixed windows measured 0.4-0.8.
+    overlap_threshold: float = 0.45
+    # Only windows within this many hops of a primary-label change are
+    # overlap candidates: overlap lives at turn boundaries
+    # (interruptions / backchannels), and the r3 ratio-gate detector's
+    # losses were mid-turn false alarms.
+    overlap_boundary_windows: int = 2
 
 
 def energy_vad_mask(
@@ -78,19 +76,32 @@ def energy_vad_mask(
 
 def detect_overlap_windows(
     emb: np.ndarray, labels: np.ndarray, n_spk: int,
-    ratio: float, min_sim: float,
+    threshold: float = 0.45, boundary_windows: int = 2,
 ) -> list[tuple[int, int]]:
-    """Heuristic overlapped-speech detector.
+    """Residual-alignment overlapped-speech detector.
 
-    A window whose second-best centroid similarity is both close to the
-    best (≥ ratio × best) and high in absolute terms (≥ min_sim) likely
-    contains two active speakers: its embedding sits between two cluster
-    centroids.  Returns (window_index, secondary_label) pairs.
+    Remove the assigned speaker's centroid component from each window
+    embedding and test whether the residual points along another
+    speaker's centroid direction (itself orthogonalized against the
+    primary).  A pure window's residual is within-speaker noise with no
+    preferred direction (chance alignment ~1/sqrt(D)); a mixed window
+    e ≈ α·c_p + β·c_s leaves a residual parallel to c_s's component
+    orthogonal to c_p.  This replaces the r3 ratio gate (2nd-best ≥
+    0.93 × best), whose best swept setting still lost to detector-off:
+    raw 2nd-best similarity confuses "between two centroids" with
+    "two active voices", while the residual test only fires on energy
+    the primary speaker cannot explain.
+
+    Windows farther than ``boundary_windows`` hops from a primary-label
+    change are skipped — overlap lives at turn boundaries
+    (interruptions / backchannels), and the measured false alarms of the
+    old detector were mid-turn.  Returns (window_index, secondary_label).
 
     (The reference has no overlap concept — Speechmatics emits one label
     per word; this matters for DER on real meetings.)
     """
     e = emb / np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+    labels = np.asarray(labels)
     centroids = np.stack([
         e[labels == k].mean(axis=0) if np.any(labels == k)
         else np.zeros(e.shape[1])
@@ -99,17 +110,31 @@ def detect_overlap_windows(
     centroids /= np.maximum(
         np.linalg.norm(centroids, axis=-1, keepdims=True), 1e-12
     )
-    sims = e @ centroids.T  # (N, K)
+    n = len(e)
+    # residual of each window against its own centroid
+    cp = centroids[labels]                     # (N, D)
+    resid = e - (e * cp).sum(axis=1, keepdims=True) * cp
+    rn = np.linalg.norm(resid, axis=1)
+    resid = resid / np.maximum(rn, 1e-12)[:, None]
+    # per-(primary, other) orthogonalized centroid directions
+    dots = centroids @ centroids.T             # (K, K)
+    perp = centroids[None, :, :] - dots[:, :, None] * centroids[:, None, :]
+    perp /= np.maximum(np.linalg.norm(perp, axis=-1, keepdims=True), 1e-12)
+    scores = np.einsum("nd,nkd->nk", resid, perp[labels])  # (N, K)
+    scores[np.arange(n), labels] = -np.inf
+    # distance (in hops) to the nearest primary-label change
+    near = np.zeros(n, dtype=bool)
+    change = np.flatnonzero(labels[1:] != labels[:-1])  # boundary after i
+    for c in change:
+        lo = max(0, c - boundary_windows + 1)
+        hi = min(n, c + 1 + boundary_windows)
+        near[lo:hi] = True
     out: list[tuple[int, int]] = []
-    for i in range(len(e)):
-        row = sims[i]
-        top2 = np.argsort(row)[-2:][::-1]
-        best, second = top2[0], top2[1]
-        if row[second] >= min_sim and row[second] >= ratio * row[best]:
-            # secondary is whichever of the two is NOT the assigned label
-            sec = second if labels[i] == best else best
-            if sec != labels[i]:
-                out.append((i, int(sec)))
+    sec = np.argmax(scores, axis=1)
+    val = scores[np.arange(n), sec]
+    for i in range(n):
+        if near[i] and rn[i] > 1e-6 and val[i] >= threshold:
+            out.append((i, int(sec[i])))
     return out
 
 
@@ -198,13 +223,10 @@ class Diarizer:
 
         overlap_pairs: list[tuple[int, int]] = []  # (window_idx, 2nd label)
         if cfg.detect_overlap and n_spk > 1:
-            min_sim = (
-                cfg.overlap_min_sim
-                if cfg.overlap_min_sim is not None
-                else float(getattr(self.backend, "cluster_merge_tau", 0.7))
-            )
             overlap_pairs = detect_overlap_windows(
-                emb, labels, n_spk, cfg.overlap_ratio, min_sim
+                emb, labels, n_spk,
+                threshold=cfg.overlap_threshold,
+                boundary_windows=cfg.overlap_boundary_windows,
             )
         segments = labels_to_segments(
             labels, speech_starts, cfg.window_seconds, prefix="S"

@@ -286,6 +286,40 @@ def test_viterbi_smooths_isolated_flips():
     np.testing.assert_array_equal(fixed, labels)
 
 
+def test_resegment_adapts_to_compressed_geometry():
+    """Band-limited channels (telephone tier) compress the centroid-
+    similarity gap; the fixed emission temperature let the switch
+    penalty steamroll genuine turns (r3: reseg made telephone labels
+    WORSE than skipping it).  The adaptive temperature must preserve a
+    real 4-window turn in exactly that geometry while still smoothing a
+    single-window flip."""
+    from sdtk_tpu.cluster.resegment import resegment
+
+    rng = np.random.default_rng(7)
+    d = 64
+    base = rng.standard_normal(d)
+    delta = rng.standard_normal(d)
+    delta -= delta @ base / (base @ base) * base
+    # two close centroids: cosine(c0, c1) ≈ 0.97 — a compressed geometry
+    c0 = base / np.linalg.norm(base)
+    c1 = c0 + 0.25 * delta / np.linalg.norm(delta)
+    c1 /= np.linalg.norm(c1)
+    mk = lambda c, n: np.stack(
+        [c + 0.05 * rng.standard_normal(d) for _ in range(n)])
+    emb = np.concatenate([mk(c0, 8), mk(c1, 4), mk(c0, 8)])
+    truth = np.array([0] * 8 + [1] * 4 + [0] * 8)
+    # the old fixed scale=10 collapses the middle turn into speaker 0
+    collapsed = resegment(emb, truth, 2, scale=10.0)
+    assert (collapsed == 0).all(), "geometry not compressed enough for the test"
+    # adaptive temperature keeps the genuine turn
+    kept = resegment(emb, truth, 2)
+    np.testing.assert_array_equal(kept, truth)
+    # ...and still smooths an isolated flip
+    noisy = truth.copy()
+    noisy[3] = 1
+    np.testing.assert_array_equal(resegment(emb, noisy, 2), truth)
+
+
 def test_viterbi_decode_prefers_sticky_paths():
     from sdtk_tpu.cluster.resegment import viterbi_decode
     import jax.numpy as jnp
