@@ -120,34 +120,24 @@ class TpuBackend(LocalEmbeddingBackend):
         return self.engine.embed_all_windows(np.asarray(wav, np.float32))
 
     def embed_batch(self, wavs: list[np.ndarray]) -> np.ndarray:
-        """Batch many waveforms through the static window program.
+        """Batch many waveforms through shape-bucketed window programs.
 
-        Window-sized (≤3 s) same-length waveforms pack 16-per-device-call
-        as rows of the (max_windows, L) program — one tunnel round trip
-        per 16 utterances instead of per utterance (the eval harnesses
-        are RTT-bound, not compute-bound).  Longer/ragged input falls
-        back to per-utterance pooling."""
+        Window-sized (≤3 s) same-length waveforms dispatch through the
+        smallest (W, L) bucket that fits (engine.embed_rows) — the r4
+        streaming probe showed the tunnel transport is the entire cost
+        (a (16, 48000) call is 122 ms of which ~122 ms is the 3 MB H2D;
+        a (1, 24000) call is 27 ms), so transfer bytes, not device FLOPs,
+        decide latency.  Longer/ragged input falls back to per-utterance
+        pooling."""
         if not wavs:
             return np.zeros((0, self.engine.emb_dim), np.float32)
         eng = self.engine
-        L = eng.window_len
         n0 = len(wavs[0])
-        if n0 <= L and all(len(w) == n0 for w in wavs):
-            N, W = len(wavs), eng.max_windows
-            arr = np.zeros((N, L), dtype=np.float32)
+        if n0 <= eng.window_len and all(len(w) == n0 for w in wavs):
+            arr = np.zeros((len(wavs), n0), dtype=np.float32)
             for i, w in enumerate(wavs):
-                arr[i, : len(w)] = w
-            lengths = np.full(N, max(n0, eng.cfg.win_length), np.int32)
-            out = []
-            for s in range(0, N, W):
-                chunk, lens = arr[s : s + W], lengths[s : s + W]
-                n = chunk.shape[0]
-                if n < W:
-                    chunk = np.concatenate(
-                        [chunk, np.zeros((W - n, L), np.float32)])
-                    lens = np.concatenate([lens, np.zeros(W - n, np.int32)])
-                out.append(np.asarray(eng._embed_jit(chunk, lens))[:n])
-            return np.concatenate(out, axis=0)
+                arr[i] = w
+            return eng.embed_rows(arr)
         return np.stack([eng.embed_one(w) for w in wavs])
 
 
@@ -166,13 +156,26 @@ class _EmbedEngine:
         from ..models import EcapaConfig, EcapaTdnn, XVector, XVectorConfig
         from ..ops import fbank
 
-        self.cfg = fbank.FrontendConfig()
+        # Resolve the checkpoint FIRST: a converted pretrained checkpoint
+        # (tools/convert_ecapa.py) carries a ``.config.json`` sidecar that
+        # pins both the model topology (SpeechBrain-layout switches,
+        # channel widths) and the feature frontend it was trained on —
+        # those must be known before the graph is built.
+        self._ckpt_path = self._resolve_checkpoint(params_path)
+        sidecar_cfg = self._load_config_sidecar(self._ckpt_path)
+
+        self.cfg = fbank.FrontendConfig(**sidecar_cfg.get("frontend", {}))
         self.window_len = int(WINDOW_SECONDS * self.cfg.sample_rate)
         self.hop_len = int(HOP_SECONDS * self.cfg.sample_rate)
         self.max_windows = max_windows
 
+        model_over = dict(sidecar_cfg.get("model", {}))
         if model_name == "ecapa":
-            self.model = EcapaTdnn(EcapaConfig(channels=channels))
+            if "dilations" in model_over:
+                model_over["dilations"] = tuple(model_over["dilations"])
+            self.model = EcapaTdnn(
+                EcapaConfig(**({"channels": channels} | model_over))
+            )
             self.emb_dim = self.model.cfg.emb_dim
         elif model_name == "xvector":
             self.model = XVector(XVectorConfig(channels=channels))
@@ -185,7 +188,7 @@ class _EmbedEngine:
         else:
             raise ValueError(f"unknown model '{model_name}'")
 
-        self.variables = self._init_or_load(params_path, seed)
+        self.variables = self._init_or_load(self._ckpt_path, seed)
         self.calibration = self._load_calibration()
         self.cohort = self._load_cohort()
         # Device-resident params passed as a jit ARGUMENT, not a closure:
@@ -215,8 +218,11 @@ class _EmbedEngine:
             self._device_variables, w, l
         )
 
+    _CKPT_SLUG = {"ecapa": "ecapatdnn", "xvector": "xvector",
+                  "conformer": "conformer"}
+
     def _params_search_paths(self) -> list[Path]:
-        name = f"{type(self.model).__name__.lower()}.msgpack"
+        name = f"{self._CKPT_SLUG[self._model_name]}.msgpack"
         repo_models = Path(__file__).resolve().parent.parent.parent / "models"
         paths = []
         # explicit override first ($SDTK_MODEL_PATH — A/B new checkpoints
@@ -239,31 +245,63 @@ class _EmbedEngine:
         ]
         return paths
 
-    def _init_or_load(self, params_path, seed):
-        import jax
-        import jax.numpy as jnp
-
+    def _resolve_checkpoint(self, params_path) -> "Path | None":
+        """First existing checkpoint path, or None (random init)."""
         candidates = (
             [Path(params_path)] if params_path else self._params_search_paths()
         )
-        dummy = jnp.zeros((1, 64, self.cfg.n_mels))
-        variables = self.model.init(jax.random.PRNGKey(seed), dummy)
+        self._searched = candidates
         for path in candidates:
             if path.exists():
-                import flax.serialization
+                return path
+        return None
 
-                with open(path, "rb") as f:
-                    variables = flax.serialization.from_bytes(variables, f.read())
-                self.params_source = str(path)
-                return variables
+    @staticmethod
+    def _load_config_sidecar(ckpt_path) -> dict:
+        """``<checkpoint>.config.json`` — {"model": {...EcapaConfig fields},
+        "frontend": {...FrontendConfig fields}} written by
+        tools/convert_ecapa.py for converted pretrained weights.  Absent
+        for natively trained checkpoints (defaults apply)."""
+        if ckpt_path is None:
+            return {}
+        sidecar = Path(ckpt_path).with_suffix(".config.json")
+        if not sidecar.exists():
+            return {}
+        import json
+
+        try:
+            cfg = json.loads(sidecar.read_text())
+            if not isinstance(cfg, dict):
+                raise ValueError("not a JSON object")
+            return cfg
+        except (ValueError, OSError) as e:
+            import sys
+
+            print(f"Warning: ignoring malformed config sidecar {sidecar}: "
+                  f"{e}", file=sys.stderr)
+            return {}
+
+    def _init_or_load(self, ckpt_path, seed):
+        import jax
+        import jax.numpy as jnp
+
+        dummy = jnp.zeros((1, 64, self.cfg.n_mels))
+        variables = self.model.init(jax.random.PRNGKey(seed), dummy)
+        if ckpt_path is not None:
+            import flax.serialization
+
+            with open(ckpt_path, "rb") as f:
+                variables = flax.serialization.from_bytes(variables, f.read())
+            self.params_source = str(ckpt_path)
+            return variables
         self.params_source = "random-init"
         import sys
 
         print(
             f"Warning: no trained checkpoint found for "
             f"{type(self.model).__name__} (searched: "
-            f"{', '.join(str(p) for p in candidates)}); using RANDOM weights "
-            f"— identify/verify scores will be meaningless. Set "
+            f"{', '.join(str(p) for p in self._searched)}); using RANDOM "
+            f"weights — identify/verify scores will be meaningless. Set "
             f"$SDTK_MODEL_PATH or place a checkpoint in "
             f"{config.model_dir()}.",
             file=sys.stderr,
@@ -380,3 +418,38 @@ class _EmbedEngine:
         embs = self.embed_all_windows(wav)  # (n, D) unit rows — full file
         pooled = embs.mean(axis=0)
         return (pooled / max(np.linalg.norm(pooled), 1e-12)).astype(np.float32)
+
+    # Batch-shape buckets: every distinct (W, L) jit shape compiles once
+    # (disk-cached via utils.jaxcache), and the tunnel transport — not
+    # device compute — is the per-call cost, so calls dispatch through
+    # the smallest bucket that fits.  Measured on the real chip (r4):
+    # (16, 48000) = 122 ms/call (3 MB H2D through the ~24 MB/s tunnel),
+    # (1, 24000) = 27 ms, (4, 24000) = 37 ms; async dispatch does NOT
+    # overlap the transport (pipelined == blocking in the probe), so
+    # fewer-bytes-per-call is the only lever this environment offers.
+    _W_BUCKETS = (1, 4, 16)
+
+    def embed_rows(self, rows: np.ndarray, lengths: np.ndarray | None = None
+                   ) -> np.ndarray:
+        """(N, n) same-length rows (n ≤ window_len samples) → (N, D) via
+        the smallest compiled (W, L) shape bucket."""
+        n_rows, n = rows.shape
+        if n_rows == 0:
+            return np.zeros((0, self.emb_dim), np.float32)
+        half = self.window_len // 2
+        L = half if n <= half else self.window_len
+        if lengths is None:
+            lengths = np.full(n_rows, max(n, self.cfg.win_length), np.int32)
+        out = []
+        i = 0
+        while i < n_rows:
+            rem = n_rows - i
+            W = next(w for w in self._W_BUCKETS if w >= min(rem, self._W_BUCKETS[-1]))
+            take = min(rem, W)
+            chunk = np.zeros((W, L), dtype=np.float32)
+            chunk[:take, :n] = rows[i : i + take]
+            lens = np.zeros(W, np.int32)
+            lens[:take] = lengths[i : i + take]
+            out.append(np.asarray(self._embed_jit(chunk, lens))[:take])
+            i += take
+        return np.concatenate(out, axis=0)

@@ -38,6 +38,15 @@ class EcapaConfig:
     mfa_channels: int = 1536  # multi-layer feature aggregation width
     dilations: tuple[int, ...] = (2, 3, 4)
     dtype: str = "bfloat16"
+    # SpeechBrain-layout switches (tools/convert_ecapa.py sets these in the
+    # converted checkpoint's .config.json sidecar so public pretrained
+    # ECAPA weights load into an architecture-identical graph):
+    # BatchNorm after the MFA conv+relu (SpeechBrain's mfa is a full
+    # TDNNBlock: conv → relu → BN; ours historically stopped at relu).
+    mfa_bn: bool = False
+    # SpeechBrain's attention bottleneck is a full TDNNBlock before the
+    # tanh (conv → relu → BN → tanh → conv); ours is tanh(conv) → conv.
+    asp_tdnn: bool = False
 
     @property
     def compute_dtype(self):
@@ -179,9 +188,12 @@ class AttentiveStatsPooling(nn.Module):
     channels: int
     attention_channels: int = 128
     dtype: jnp.dtype = jnp.bfloat16
+    tdnn_attention: bool = False  # SpeechBrain layout: conv→relu→BN→tanh→conv
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, mask: jax.Array, train: bool = False
+    ) -> jax.Array:
         b, t, c = x.shape
         mean, std = _masked_mean_std(x, mask)
         ctx = jnp.concatenate(
@@ -192,7 +204,13 @@ class AttentiveStatsPooling(nn.Module):
             ],
             axis=-1,
         )
-        a = jnp.tanh(nn.Conv(self.attention_channels, (1,), dtype=self.dtype, name="att1")(ctx))
+        a = nn.Conv(self.attention_channels, (1,), dtype=self.dtype, name="att1")(ctx)
+        if self.tdnn_attention:
+            a = nn.relu(a)
+            a = nn.BatchNorm(
+                use_running_average=not train, dtype=jnp.float32, name="att_bn"
+            )(a).astype(self.dtype)
+        a = jnp.tanh(a)
         a = nn.Conv(self.channels, (1,), dtype=self.dtype, name="att2")(a)
         a = a.astype(jnp.float32)
         a = jnp.where(mask[..., None], a, -1e9)
@@ -237,11 +255,16 @@ class EcapaTdnn(nn.Module):
         x = jnp.concatenate(block_outs, axis=-1)
         x = nn.Conv(cfg.mfa_channels, (1,), dtype=dt, name="mfa")(x)
         x = nn.relu(x)
+        if cfg.mfa_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, dtype=jnp.float32, name="mfa_bn"
+            )(x).astype(dt)
         x = x * mask[..., None].astype(x.dtype)
 
         pooled = AttentiveStatsPooling(
-            cfg.mfa_channels, cfg.attention_channels, dt, name="asp"
-        )(x, mask)
+            cfg.mfa_channels, cfg.attention_channels, dt,
+            tdnn_attention=cfg.asp_tdnn, name="asp"
+        )(x, mask, train)
         pooled = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="asp_bn")(
             pooled
         )

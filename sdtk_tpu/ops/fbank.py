@@ -39,12 +39,20 @@ class FrontendConfig:
     log_floor: float = 1e-6
     mean_norm: bool = True  # per-utterance CMN over valid frames
     compute_dtype: str = "bfloat16"
+    # SpeechBrain/Kaldi-interop knobs (tools/convert_ecapa.py writes these
+    # into a converted checkpoint's .config.json so public pretrained
+    # weights see the features they were trained on):
+    log_scale: str = "ln"   # "ln" (natural log) | "db" (10·log10, SB/torch)
+    mel_fmin: float = 20.0  # SB filterbanks start at 0 Hz
+    center: bool = False    # torch.stft center=True framing (pad win//2)
 
     @property
     def frames_per_second(self) -> float:
         return self.sample_rate / self.hop_length
 
     def num_frames(self, n_samples: int) -> int:
+        if self.center:
+            return 1 + n_samples // self.hop_length
         return melbank.num_frames(n_samples, self.win_length, self.hop_length)
 
 
@@ -74,6 +82,8 @@ def _preemphasize(x: jax.Array, coeff: float) -> jax.Array:
 def frame_mask(lengths: jax.Array, n_samples: int, cfg: FrontendConfig) -> jax.Array:
     """(B,) sample lengths → (B, T) bool validity mask over frames."""
     t = cfg.num_frames(n_samples)
+    if cfg.center:  # frame t is centered at t·hop
+        return cfg.hop_length * jnp.arange(t)[None, :] < lengths[:, None]
     ends = cfg.win_length + cfg.hop_length * jnp.arange(t)[None, :]
     return ends <= lengths[:, None]
 
@@ -95,9 +105,14 @@ def log_mel(
     b, n = x.shape
     dt = jnp.dtype(cfg.compute_dtype)
     wr, wi = melbank.windowed_bases(cfg.win_length, cfg.n_fft, cfg.window)
-    mel = melbank.mel_filterbank(cfg.n_mels, cfg.n_fft, cfg.sample_rate)
+    mel = melbank.mel_filterbank(
+        cfg.n_mels, cfg.n_fft, cfg.sample_rate, fmin=cfg.mel_fmin
+    )
 
     x = _preemphasize(x, cfg.preemphasis)
+    if cfg.center:
+        pad = cfg.win_length // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad)))
     frames = frame_signal(x, cfg.win_length, cfg.hop_length).astype(dt)
 
     re = jnp.einsum("btw,wf->btf", frames, jnp.asarray(wr, dt), preferred_element_type=jnp.float32)
@@ -106,7 +121,10 @@ def log_mel(
     melspec = jnp.einsum(
         "btf,fm->btm", power.astype(dt), jnp.asarray(mel, dt), preferred_element_type=jnp.float32
     )
-    feats = jnp.log(melspec + cfg.log_floor)
+    if cfg.log_scale == "db":  # torch/SB convention: 10·log10(clamp(x, amin))
+        feats = 10.0 * jnp.log10(jnp.maximum(melspec, cfg.log_floor))
+    else:
+        feats = jnp.log(melspec + cfg.log_floor)
 
     if lengths is None:
         mask = jnp.ones(feats.shape[:2], dtype=bool)
@@ -133,14 +151,22 @@ def log_mel_reference(x: np.ndarray, cfg: FrontendConfig = FrontendConfig()) -> 
     if cfg.preemphasis > 0:
         x = x - cfg.preemphasis * np.concatenate([[0.0], x[:-1]])
     t = cfg.num_frames(len(x))
+    if cfg.center:
+        pad = cfg.win_length // 2
+        x = np.pad(x, (pad, pad))
     w = melbank.window(cfg.win_length, cfg.window)
-    mel = melbank.mel_filterbank(cfg.n_mels, cfg.n_fft, cfg.sample_rate)
+    mel = melbank.mel_filterbank(
+        cfg.n_mels, cfg.n_fft, cfg.sample_rate, fmin=cfg.mel_fmin
+    )
     frames = np.stack(
         [x[i * cfg.hop_length : i * cfg.hop_length + cfg.win_length] for i in range(t)]
     )
     spec = np.fft.rfft(frames * w, n=cfg.n_fft, axis=-1)
     power = np.abs(spec) ** 2
-    feats = np.log(power @ mel + cfg.log_floor)
+    if cfg.log_scale == "db":
+        feats = 10.0 * np.log10(np.maximum(power @ mel, cfg.log_floor))
+    else:
+        feats = np.log(power @ mel + cfg.log_floor)
     if cfg.mean_norm:
         feats = feats - feats.mean(axis=0, keepdims=True)
     return feats.astype(np.float32)
