@@ -102,6 +102,11 @@ def main() -> int:
                    help="Run the secondary-speaker detector "
                         "(pipeline/diarize.py detect_overlap_windows) and "
                         "score its overlap segments as hypothesis speech")
+    p.add_argument("--corpus", default=None, metavar="DIR",
+                   help="Score a REAL corpus instead of synthetic "
+                        "meetings: a directory of <id>.wav + <id>.rttm "
+                        "pairs (AMI/DIHARD layout; "
+                        "sdtk_tpu.data.corpus.scan_corpus)")
     args = p.parse_args()
 
     from sdtk_tpu.cluster import diarization_error_rate
@@ -113,16 +118,35 @@ def main() -> int:
                         detect_overlap=args.detect_overlap)
     d = Diarizer(args.backend, cfg)
 
+    if args.corpus:
+        from sdtk_tpu.data.corpus import parse_rttm, scan_corpus
+
+        entries = scan_corpus(args.corpus)
+        if not entries:
+            print(json.dumps({"error": f"no wav+rttm pairs under {args.corpus}"}))
+            return 1
+        meetings = [(e.recording_id, None, parse_rttm(e.rttm), e.wav)
+                    for e in entries]
+    else:
+        meetings = []
+        for m in range(args.meetings):
+            wav, ref = build_meeting(
+                m, args.speakers, args.turns, args.turn_seconds,
+                heldout=args.heldout, tier=args.tier, snr_db=args.snr_db,
+                overlap_frac=args.overlap_frac)
+            meetings.append((f"synth-{m}", wav, ref, None))
+
     ders, misses, fas, confs = [], [], [], []
+    per_recording = {}
     audio_seconds = 0.0
     t0 = time.time()
-    for m in range(args.meetings):
-        wav, ref = build_meeting(m, args.speakers, args.turns, args.turn_seconds,
-                                 heldout=args.heldout, tier=args.tier,
-                                 snr_db=args.snr_db,
-                                 overlap_frac=args.overlap_frac)
-        audio_seconds += len(wav) / 16000
-        result = d.diarize_waveform(wav)
+    for rec_id, wav, ref, wav_path in meetings:
+        if wav is None:
+            result = d.diarize_file(wav_path)
+            audio_seconds += result["duration"]
+        else:
+            audio_seconds += len(wav) / 16000
+            result = d.diarize_waveform(wav)
         hyp = list(result["segments"])
         if args.detect_overlap:
             hyp += list(result.get("overlap_segments", []))
@@ -131,14 +155,16 @@ def main() -> int:
         misses.append(metrics["miss"])
         fas.append(metrics["false_alarm"])
         confs.append(metrics["confusion"])
+        per_recording[rec_id] = round(metrics["der"], 4)
     wall = time.time() - t0
 
     out = {
         "benchmark": "der",
         "backend": args.backend,
-        "generator": "heldout" if args.heldout else "train-family",
+        "generator": (f"corpus:{args.corpus}" if args.corpus
+                      else "heldout" if args.heldout else "train-family"),
         "tier": args.tier if args.heldout else "clean",
-        "meetings": args.meetings,
+        "meetings": len(meetings),
         "speakers": args.speakers,
         "overlap_frac": args.overlap_frac,
         "detect_overlap": bool(args.detect_overlap),
@@ -152,6 +178,8 @@ def main() -> int:
         "wall_seconds": round(wall, 2),
         "audio_s_per_s": round(audio_seconds / wall, 1),
     }
+    if args.corpus:
+        out["per_recording_der"] = per_recording
     print(json.dumps(out))
     return 0
 
