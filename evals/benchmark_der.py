@@ -25,7 +25,7 @@ import numpy as np
 def build_meeting(meeting_id: int, n_speakers: int, n_turns: int, turn_s: float,
                   heldout: bool = False, tier: str = "clean",
                   snr_db: float = 15.0, overlap_frac: float = 0.0,
-                  sr: int = 16000):
+                  gap_frac: float = 0.0, sr: int = 16000):
     """Synthesize a meeting.  --heldout draws voices from the DISJOINT
     eval generator family (data/synth_heldout.py) and applies the channel
     tier — the non-circular quality measurement (r1 VERDICT missing #2).
@@ -57,6 +57,10 @@ def build_meeting(meeting_id: int, n_speakers: int, n_turns: int, turn_s: float,
         prev = spk
         dur = float(rng.uniform(turn_s * 0.7, turn_s * 1.3))
         start = t
+        if turn > 0 and gap_frac > 0 and rng.uniform() < gap_frac:
+            # silence (or bed-only, once a tier is applied) between turns —
+            # the region where VAD quality becomes measurable as DER
+            start = t + float(rng.uniform(1.0, 3.0))
         if turn > 0 and overlap_frac > 0 and rng.uniform() < overlap_frac:
             start = max(0.0, t - float(rng.uniform(0.4, 1.2)))
         piece = make(spk, 1000 * meeting_id + turn, dur)
@@ -91,7 +95,14 @@ def main() -> int:
     p.add_argument("--heldout", action="store_true",
                    help="held-out generator family (non-circular eval)")
     p.add_argument("--tier", default="clean",
-                   choices=["clean", "noise", "reverb", "telephone"])
+                   choices=["clean", "noise", "reverb", "telephone", "music"])
+    p.add_argument("--gap-frac", type=float, default=0.0,
+                   help="Probability of a 1-3 s silence gap before a turn "
+                        "(bed-only audio once a tier applies) — exposes "
+                        "VAD quality as DER false alarm")
+    p.add_argument("--vad", default="auto",
+                   choices=["auto", "energy", "trained"],
+                   help="Diarizer speech gate (DiarizeConfig.vad)")
     p.add_argument("--snr-db", type=float, default=15.0)
     p.add_argument("--overlap-frac", type=float, default=0.0,
                    help="Probability a turn overlaps the previous one "
@@ -115,7 +126,7 @@ def main() -> int:
     cfg = DiarizeConfig(n_speakers=args.speakers if args.known_k else None,
                         max_speakers=max(8, args.speakers),
                         window_seconds=args.window, hop_seconds=args.hop,
-                        detect_overlap=args.detect_overlap)
+                        detect_overlap=args.detect_overlap, vad=args.vad)
     d = Diarizer(args.backend, cfg)
 
     if args.corpus:
@@ -133,7 +144,7 @@ def main() -> int:
             wav, ref = build_meeting(
                 m, args.speakers, args.turns, args.turn_seconds,
                 heldout=args.heldout, tier=args.tier, snr_db=args.snr_db,
-                overlap_frac=args.overlap_frac)
+                overlap_frac=args.overlap_frac, gap_frac=args.gap_frac)
             meetings.append((f"synth-{m}", wav, ref, None))
 
     ders, misses, fas, confs = [], [], [], []
@@ -167,6 +178,8 @@ def main() -> int:
         "meetings": len(meetings),
         "speakers": args.speakers,
         "overlap_frac": args.overlap_frac,
+        "gap_frac": args.gap_frac,
+        "vad": args.vad,
         "detect_overlap": bool(args.detect_overlap),
         "mean_der": round(float(np.mean(ders)), 4),
         "max_der": round(float(np.max(ders)), 4),

@@ -43,6 +43,7 @@ def cmd_run(args) -> int:
             n_speakers=args.num_speakers,
             resegment=not args.no_resegment,
             detect_overlap=args.detect_overlap,
+            vad=args.vad,
         )
         try:
             result = Diarizer(args.backend, cfg).diarize_file(args.audio)
@@ -110,6 +111,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--collar", type=float, default=0.25)
     parser.add_argument("--no-resegment", action="store_true",
                         help="Disable the sticky-HMM Viterbi smoothing pass")
+    parser.add_argument("--vad", default="auto",
+                        choices=["auto", "energy", "trained"],
+                        help="Speech gate: trained frame classifier "
+                             "(models/vad.py) or relative-energy; auto = "
+                             "trained when its checkpoint exists")
     parser.add_argument("--detect-overlap", action="store_true",
                         help="Flag windows with two active speakers; secondary "
                              "segments appear as extra RTTM lines")

@@ -1,0 +1,131 @@
+"""Non-speech negatives for VAD training and the music-bed eval tier.
+
+The r3 energy gate (window RMS relative to the loudest window) calls ANY
+loud window "speech" — music, keyboard, hum become speakers
+(pipeline/longform.py + pipeline/streaming.py r3 gates; r3 VERDICT
+missing #3).  These generators produce the negative classes a trained
+VAD must reject, synthetically (no egress), implementation-disjoint from
+the speech generators in synth.py / synth_heldout.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SR = 16000
+
+
+def white_noise(seconds: float, seed: int = 0, sr: int = SR) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(int(seconds * sr)).astype(np.float32)
+
+
+def pink_noise(seconds: float, seed: int = 0, sr: int = SR) -> np.ndarray:
+    """1/f noise via FFT shaping."""
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    spec = np.fft.rfft(rng.standard_normal(n))
+    f = np.maximum(np.fft.rfftfreq(n, 1 / sr), 1.0)
+    x = np.fft.irfft(spec / np.sqrt(f), n)
+    return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
+
+
+def hum(seconds: float, seed: int = 0, sr: int = SR) -> np.ndarray:
+    """Mains hum + harmonics (50/60 Hz family)."""
+    rng = np.random.default_rng(seed)
+    base = float(rng.choice([50.0, 60.0]))
+    t = np.arange(int(seconds * sr)) / sr
+    x = sum(
+        rng.uniform(0.2, 1.0) / (k + 1) * np.sin(2 * np.pi * base * (k + 1) * t
+                                                 + rng.uniform(0, 2 * np.pi))
+        for k in range(4)
+    )
+    return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
+
+
+def keyboard(seconds: float, seed: int = 0, sr: int = SR) -> np.ndarray:
+    """Typing: sparse wideband clicks with fast decay."""
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    x = np.zeros(n, np.float32)
+    t_click = 0.0
+    while t_click < seconds:
+        t_click += float(rng.exponential(0.12))
+        a = int(t_click * sr)
+        if a >= n:
+            break
+        dur = int(rng.uniform(0.004, 0.02) * sr)
+        click = rng.standard_normal(dur) * np.exp(-np.arange(dur) / (0.003 * sr))
+        x[a : a + dur] += rng.uniform(0.3, 1.0) * click[: max(0, n - a)]
+    return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
+
+
+def music(seconds: float, seed: int = 0, sr: int = SR) -> np.ndarray:
+    """Music bed: chord progression of harmonic tones with slow note
+    envelopes, a bass line, and a percussive pulse — broadband, pitched,
+    and amplitude-modulated like real background music, but with none of
+    speech's formant structure or syllabic (~4 Hz) modulation."""
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    x = np.zeros(n, np.float64)
+    root = float(rng.uniform(90.0, 260.0))
+    # randomized progression and tempo — one fixed voicing was enough
+    # structure for the VAD to memorize around (r4: a specific 4/3 chord
+    # bar scored 0.61 speech)
+    pool = [1.0, 9 / 8, 5 / 4, 4 / 3, 3 / 2, 5 / 3, 15 / 8]
+    ratios = [1.0] + [float(rng.choice(pool)) for _ in range(3)]
+    bar = float(rng.uniform(1.0, 2.5))
+    for b in range(int(np.ceil(seconds / bar))):
+        a = int(b * bar * sr)
+        z = min(n, int((b + 1) * bar * sr))
+        if a >= z:
+            break
+        tb = t[a:z] - t[a]
+        f = root * ratios[b % len(ratios)]
+        env = np.exp(-tb / rng.uniform(0.8, 1.6))
+        for mult, amp in ((1, 1.0), (5 / 4, 0.6), (3 / 2, 0.7), (2, 0.4)):
+            for h in range(1, 5):
+                x[a:z] += (amp / h) * env * np.sin(
+                    2 * np.pi * f * mult * h * tb + rng.uniform(0, 2 * np.pi))
+        # bass
+        x[a:z] += 0.8 * np.sin(2 * np.pi * (f / 2) * tb)
+    # percussive pulse every 0.5 s
+    for beat in np.arange(0.0, seconds, 0.5):
+        a = int(beat * sr)
+        dur = int(0.05 * sr)
+        if a + 4 >= n:
+            break
+        thump = np.exp(-np.arange(dur) / (0.01 * sr)) * rng.standard_normal(dur)
+        x[a : a + dur] += 0.5 * thump[: max(0, n - a)]
+    return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
+
+
+GENERATORS = {
+    "white": white_noise,
+    "pink": pink_noise,
+    "hum": hum,
+    "keyboard": keyboard,
+    "music": music,
+}
+
+
+def sample_nonspeech(seconds: float, seed: int, sr: int = SR) -> np.ndarray:
+    """One random non-speech clip (class chosen by seed)."""
+    rng = np.random.default_rng(seed)
+    kind = list(GENERATORS)[int(rng.integers(len(GENERATORS)))]
+    x = GENERATORS[kind](seconds, seed=seed + 1, sr=sr)
+    return (x * float(rng.uniform(0.2, 1.0))).astype(np.float32)
+
+
+def mix_at_snr(speech: np.ndarray, bed: np.ndarray, snr_db: float
+               ) -> np.ndarray:
+    """speech + bed scaled to the given speech-to-bed SNR."""
+    n = len(speech)
+    if len(bed) < n:
+        bed = np.tile(bed, -(-n // len(bed)))
+    bed = bed[:n]
+    ps = float(np.mean(speech**2) + 1e-12)
+    pb = float(np.mean(bed**2) + 1e-12)
+    g = np.sqrt(ps / (pb * 10.0 ** (snr_db / 10.0)))
+    return (speech + g * bed).astype(np.float32)

@@ -217,7 +217,7 @@ def apply_telephone(x: np.ndarray) -> np.ndarray:
     return out
 
 
-TIERS = ("clean", "noise", "reverb", "telephone")
+TIERS = ("clean", "noise", "reverb", "telephone", "music")
 
 
 def apply_tier(x: np.ndarray, tier: str, seed: int = 0,
@@ -230,4 +230,12 @@ def apply_tier(x: np.ndarray, tier: str, seed: int = 0,
         return apply_reverb(x, seed=seed)
     if tier == "telephone":
         return apply_telephone(x)
+    if tier == "music":
+        # continuous music bed under the WHOLE meeting (including any
+        # silence gaps) — the tier that separates a trained VAD from the
+        # energy gate, which clusters music-only windows as speakers
+        from .nonspeech import mix_at_snr, music
+
+        bed = music(len(x) / 16000.0 + 1.0, seed=seed + 77)
+        return mix_at_snr(x, bed, snr_db)
     raise ValueError(f"unknown tier '{tier}' (use one of {TIERS})")

@@ -28,6 +28,17 @@ class DiarizeConfig:
     max_speakers: int = 8
     n_speakers: int | None = None  # None = eigengap auto
     vad_threshold_db: float = -40.0  # relative to peak RMS
+    # "energy" (RMS vs loudest window) | "trained" (models/vad.py frame
+    # classifier) | "auto" (trained when the bundled checkpoint exists,
+    # else energy).  The energy gate calls any LOUD window speech —
+    # music/keyboard/hum beds become speakers; the trained gate rejects
+    # them (evals/benchmark_der.py --tier music A/B).
+    vad: str = "auto"
+    # With the trained VAD: clip hypothesis segments to the 10 ms speech
+    # intervals (pipeline/vad.py speech_intervals).  Window-quantized
+    # segments overhang turns by up to window_seconds at edges/gaps —
+    # the dominant false-alarm term once windows are gated correctly.
+    vad_clip: bool = True
     min_segment_seconds: float = 0.0
     embed_chunk: int = 128  # windows per device batch (static shape)
     resegment: bool = True  # sticky-HMM Viterbi smoothing of window labels
@@ -179,11 +190,25 @@ class Diarizer:
         from ..utils.profiling import stage
 
         cfg = self.cfg
+        speech_spans: list[tuple[float, float]] | None = None
         with stage("diarize.vad"):
-            starts, keep = energy_vad_mask(
-                wav, cfg.sample_rate, cfg.window_seconds, cfg.hop_seconds,
-                cfg.vad_threshold_db,
-            )
+            use_trained = cfg.vad == "trained"
+            if cfg.vad == "auto":
+                from .vad import trained_vad_available
+
+                use_trained = trained_vad_available()
+            if use_trained:
+                from .vad import trained_vad_analysis
+
+                starts, keep, speech_spans = trained_vad_analysis(
+                    wav, cfg.sample_rate, cfg.window_seconds,
+                    cfg.hop_seconds,
+                )
+            else:
+                starts, keep = energy_vad_mask(
+                    wav, cfg.sample_rate, cfg.window_seconds,
+                    cfg.hop_seconds, cfg.vad_threshold_db,
+                )
         speech_starts = starts[keep]
         if len(speech_starts) == 0:
             return {"segments": [], "n_speakers": 0, "window_labels": []}
@@ -239,6 +264,10 @@ class Diarizer:
             if lbl not in order:
                 order[lbl] = f"S{len(order) + 1}"
             renamed.append((s, e, order[lbl]))
+        if speech_spans is not None and cfg.vad_clip:
+            from .vad import clip_segments_to_speech
+
+            renamed = clip_segments_to_speech(renamed, speech_spans)
         if cfg.min_segment_seconds > 0:
             renamed = [
                 (s, e, l) for s, e, l in renamed if e - s >= cfg.min_segment_seconds

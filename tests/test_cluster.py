@@ -203,7 +203,7 @@ def test_diarize_two_voices(speakers_dir, tmp_path, monkeypatch):
     wav = np.concatenate([voice(220, 4), voice(520, 4), voice(220, 4)])
     wav += 0.005 * rng.standard_normal(len(wav)).astype(np.float32)
 
-    d = Diarizer("fake", DiarizeConfig(n_speakers=2))
+    d = Diarizer("fake", DiarizeConfig(n_speakers=2, vad="energy"))
     res = d.diarize_waveform(wav)
     assert res["n_speakers"] == 2
     segs = res["segments"]
@@ -258,7 +258,8 @@ def test_diarize_cli_eval_rttm(speakers_dir, tmp_path, capsys):
     )
     rc = cli_diarize.main(
         [str(wav_path), "--backend", "fake", "--num-speakers", "2",
-         "--format", "json", "--eval-rttm", str(rttm_path)]
+         "--format", "json", "--eval-rttm", str(rttm_path),
+         "--vad", "energy"]
     )
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
@@ -354,7 +355,7 @@ def test_overlap_detection(speakers_dir):
     wav += 0.005 * rng.standard_normal(len(wav)).astype(np.float32)
 
     d = Diarizer("fake", DiarizeConfig(n_speakers=2, detect_overlap=True,
-                                       resegment=False))
+                                       resegment=False, vad="energy"))
     res = d.diarize_waveform(wav)
     assert res["n_speakers"] == 2
     assert "overlap_segments" in res
