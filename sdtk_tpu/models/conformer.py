@@ -1,12 +1,20 @@
 """Conformer speaker embedder (flax.linen) — the attention model family.
 
-Third embedder tower beside ECAPA-TDNN (flagship) and x-vector.  Standard
-conformer blocks (feed-forward ½ → MHSA → depthwise conv module →
-feed-forward ½, pre-norm) over log-mel frames, then the same masked
-attentive-statistics pooling as ECAPA.  Replaces nothing in the reference
-(its model lived in the Speechmatics cloud, speechmatics_backend.py:4-6);
-exists so that attention-based towers — and their sequence-parallel
-story (ring/blockwise attention over the mesh) — have a first-class seam.
+STATUS: sequence-parallel test scaffolding, NOT a serving tower.  At the
+r3 training budget it reached 14.7% held-out EER vs ECAPA's 1.0%
+(docs/PERFORMANCE.md "Secondary towers"), so no checkpoint is bundled and
+nothing defaults to it.  It earns its place as the attention-model seam:
+the ring-attention / halo-conv / psum-ASP sequence-parallel forward
+(ops/ringattn.py conformer_sp_embed) is parity-tested against this module
+on the 8-device mesh, which is exactly the machinery a future
+attention-based tower (or a larger conformer trained on real data) would
+serve through.
+
+Architecture: standard conformer blocks (feed-forward ½ → MHSA →
+depthwise conv module → feed-forward ½, pre-norm) over log-mel frames,
+then the same masked attentive-statistics pooling as ECAPA.  Replaces
+nothing in the reference (its model lived in the Speechmatics cloud,
+speechmatics_backend.py:4-6).
 
 TPU-first choices match ecapa.py: feature-last (B, T, C) layout, bf16
 compute with f32 statistics/softmax accumulation, every op mask-aware so

@@ -40,6 +40,12 @@ class LongformConfig:
     max_speakers: int = 8
     n_speakers: int | None = None
     vad_threshold_db: float = -40.0  # on window RMS, relative to loudest
+    # "energy" keeps the gate inside the sharded device program (mean
+    # log-mel per window, zero host cost — the hour-scale default);
+    # "trained" swaps in the frame classifier (pipeline/vad.py), which
+    # rejects music/keyboard/hum beds the energy gate clusters as
+    # speakers, at ~1 ms/window of serial host work.
+    vad: str = "energy"
     resegment: bool = True
     merge_tau: float = 0.47  # same-speaker merge bar (cluster.spectral.MERGE_TAU)
     merge_rel: float | None = 0.75  # scale-free bar (cluster.spectral.MERGE_REL)
@@ -197,11 +203,23 @@ class LongformDiarizer:
         emb = np.asarray(emb)[:w]
         energy = np.asarray(energy)[:w]
 
-        # VAD heuristic: mean log-mel per window relative to the loudest
-        # window (log scale, so a fixed offset ≈ a relative-dB threshold).
-        # Filter BEFORE clustering: silence must not vote in the affinity
-        # matrix, eigensolve or speaker counting.
-        keep = energy > (energy.max() + cfg.vad_threshold_db / 8.686)
+        # VAD — filter BEFORE clustering: non-speech must not vote in the
+        # affinity matrix, eigensolve or speaker counting.
+        if cfg.vad == "trained":
+            from .vad import trained_vad_mask
+
+            _, keep = trained_vad_mask(
+                np.asarray(wav, np.float32), cfg.sample_rate,
+                cfg.window_seconds, cfg.hop_seconds)
+            keep = keep[:w]
+            if len(keep) < w:
+                keep = np.pad(keep, (0, w - len(keep)), constant_values=True)
+        else:
+            # energy heuristic: mean log-mel per window relative to the
+            # loudest window (log scale, so a fixed offset ≈ a
+            # relative-dB threshold); computed inside the sharded device
+            # program — zero host cost.
+            keep = energy > (energy.max() + cfg.vad_threshold_db / 8.686)
         if not keep.any():
             keep[:] = True
         kept_idx = np.nonzero(keep)[0]

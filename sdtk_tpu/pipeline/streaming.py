@@ -39,6 +39,17 @@ class StreamingConfig:
     centroid_momentum: float = 0.9
     max_speakers: int = 16
     vad_threshold_db: float = -40.0
+    # "energy" (window RMS vs running peak, zero cost — the default) |
+    # "trained" (models/vad.py frame classifier, ~1 ms/window host
+    # inference, rejects music/keyboard/hum the energy gate spawns
+    # speakers for) | "auto" (trained when the checkpoint exists).
+    # Unlike the offline Diarizer, streaming cannot degrade to the null
+    # gate when the model disclaims the whole input (the future isn't
+    # known yet), so a live feed silently dropping out-of-domain audio
+    # is the worse failure — trained stays OPT-IN here.  The trained
+    # gate is causal: a weak window only counts as speech when the
+    # previous window was strong (one-sided hysteresis).
+    vad: str = "energy"
     embed_chunk: int = 16  # windows per device call
     _FALLBACK_THRESHOLD = 0.5
 
@@ -62,6 +73,16 @@ class OnlineDiarizer:
         self.cfg = cfg
         self.backend = get_backend(backend_name)
         self.state = _State()
+        self._vad_scorer = None
+        self._prev_strong = False
+        if cfg.vad in ("trained", "auto"):
+            try:
+                from ..models.vad import VadScorer
+
+                self._vad_scorer = VadScorer()
+            except FileNotFoundError:
+                if cfg.vad == "trained":
+                    raise
         if cfg.new_speaker_threshold is None:
             measured = getattr(self.backend, "raw_decision_threshold", None)
             self.new_speaker_threshold = (
@@ -92,11 +113,27 @@ class OnlineDiarizer:
             for w_idx in batch:
                 a = w_idx * hop
                 seg = st.buffer[a : a + win]
-                rms = float(np.sqrt(np.mean(seg.astype(np.float64) ** 2) + 1e-12))
-                st.peak_rms = max(st.peak_rms, rms)
-                db = 20.0 * np.log10(rms / st.peak_rms + 1e-12)
-                if db <= cfg.vad_threshold_db:
-                    continue  # silence window
+                if self._vad_scorer is not None:
+                    from ..ops.fbank import FrontendConfig, log_mel_reference
+
+                    seg_p = seg if len(seg) == win else np.pad(
+                        seg, (0, win - len(seg)))
+                    p = self._vad_scorer.frame_probs(
+                        log_mel_reference(seg_p.astype(np.float32),
+                                          FrontendConfig()))
+                    frac = float(np.mean(p > 0.5))
+                    is_speech = frac >= 0.5 or (
+                        frac >= 0.25 and self._prev_strong)
+                    self._prev_strong = frac >= 0.5
+                    if not is_speech:
+                        continue  # non-speech window (music/noise/silence)
+                else:
+                    rms = float(np.sqrt(
+                        np.mean(seg.astype(np.float64) ** 2) + 1e-12))
+                    st.peak_rms = max(st.peak_rms, rms)
+                    db = 20.0 * np.log10(rms / st.peak_rms + 1e-12)
+                    if db <= cfg.vad_threshold_db:
+                        continue  # silence window
                 wavs.append(seg)
                 starts.append(a / cfg.sample_rate)
             if not wavs:

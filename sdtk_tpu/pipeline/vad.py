@@ -137,8 +137,8 @@ def speech_frame_probs(
 
 def speech_intervals(
     wav: np.ndarray, sr: int,
-    threshold: float = 0.5, min_dur: float = 0.15,
-    max_gap: float = 0.2, pad: float = 0.1,
+    threshold: float = 0.35, min_dur: float = 0.15,
+    max_gap: float = 0.3, pad: float = 0.25,
     params_path: str | None = None,
 ) -> list[tuple[float, float]]:
     """Merged (start, end) speech intervals at 10 ms resolution: frames
@@ -185,9 +185,14 @@ def trained_vad_analysis(
 
 def _intervals_from_grid(
     probs: np.ndarray, period: float, duration: float,
-    threshold: float = 0.5, min_dur: float = 0.15,
-    max_gap: float = 0.2, pad: float = 0.1,
+    threshold: float = 0.35, min_dur: float = 0.15,
+    max_gap: float = 0.3, pad: float = 0.25,
 ) -> list[tuple[float, float]]:
+    """Defaults from the r4 clip sweep (docs/PERFORMANCE.md): thr 0.35 /
+    pad 0.25 keeps clean-tier miss at exactly 0 while still cutting
+    music-gap false alarm; the tighter thr 0.5 / pad 0.1 bought 2.2 more
+    points on the music tier by eating 2.4 points of true speech on
+    clean — the wrong trade for a default."""
     active = probs >= threshold
     out: list[tuple[float, float]] = []
     t0 = None

@@ -83,6 +83,33 @@ def test_trained_vad_mask_gates_diarizer_windows():
 
 
 @needs_checkpoint
+def test_streaming_trained_vad_gates_music():
+    """OnlineDiarizer with the opt-in trained gate refuses to embed (or
+    assign a speaker to) a music-only tail that the energy gate streams
+    straight into the clusterer."""
+    from sdtk_tpu.data.nonspeech import music
+    from sdtk_tpu.data.synth import synth_utterance
+    from sdtk_tpu.pipeline.streaming import OnlineDiarizer, StreamingConfig
+
+    sr = 16000
+    wav = np.concatenate([
+        synth_utterance(4, 21, 4.0)[: 4 * sr],
+        0.6 * music(4.0, seed=6)[: 4 * sr],
+    ]).astype(np.float32)
+
+    def run(mode):
+        d = OnlineDiarizer("fake", StreamingConfig(vad=mode))
+        events = []
+        for i in range(0, len(wav), sr // 2):
+            events += d.feed(wav[i : i + sr // 2])
+        return events
+
+    music_events = lambda evs: [e for e in evs if e["start"] >= 4.5]
+    assert music_events(run("energy")), "energy gate should pass music"
+    assert not music_events(run("trained")), "trained gate must drop music"
+
+
+@needs_checkpoint
 def test_diarizer_vad_modes():
     """cfg.vad switches the gate: on speech|music|speech audio the
     trained gate must cut hypothesis coverage of the music span that the
