@@ -31,12 +31,39 @@ import numpy as np
 PEAK_FLOPS = 197e12
 
 
-def _time_loop(fn, args, n_iters, block):
+def _make_chained(fn, n_iters):
+    """N data-chained steps inside ONE jitted program.
+
+    r4 finding: the device transport deduplicates identical dispatches
+    (10 identical calls of the batch-1024 tower returned in 2.5 ms
+    total), so the r1-r3 pattern — loop the same jitted call and block
+    on the last output — now measures the CACHE, not the chip.  A
+    lax.scan whose carry depends on each step's output cannot be deduped
+    (single dispatch) or loop-hoisted (the dependency is data-driven);
+    the carry update adds one elementwise pass per step (<2% at these
+    batch sizes), which this benchmark accepts for honesty.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(wav):
+        def body(carry, _):
+            out = fn(carry)
+            dep = jnp.ravel(out)[0].astype(jnp.float32) * 1e-30
+            return carry + dep, ()
+
+        final, _ = jax.lax.scan(body, wav, None, length=n_iters)
+        return final
+
+    return run
+
+
+def _time_chained(fn, wav, n_iters, block):
+    run = _make_chained(fn, n_iters)
+    block(run(wav))  # compile + warm
     t0 = time.perf_counter()
-    out = None
-    for _ in range(n_iters):
-        out = fn(*args)
-    block(out)
+    block(run(wav))
     return time.perf_counter() - t0
 
 
@@ -99,8 +126,10 @@ def main() -> int:
     n_iters = 20
     audio_seconds = batch * window_s * n_iters
 
-    dt_embed = _time_loop(embed, (wav,), n_iters, jax.block_until_ready)
-    dt_full = _time_loop(embed_cluster, (wav,), n_iters, jax.block_until_ready)
+    dt_embed = _time_chained(_embed_math, wav, n_iters, jax.block_until_ready)
+    dt_full = _time_chained(
+        lambda w: cluster_stage(_embed_math(w), use_subspace=use_subspace),
+        wav, n_iters, jax.block_until_ready)
 
     embed_only = audio_seconds / dt_embed
     full = audio_seconds / dt_full
@@ -140,18 +169,10 @@ def main() -> int:
         if jax.devices()[0].platform == "tpu":
             from sdtk_tpu.ops.fbank import log_mel_fused
 
-            @jax.jit
-            def frontend_xla(w):
-                return fbank.log_mel(w, cfg)[0]
-
-            @jax.jit
-            def frontend_pallas(w):
-                return log_mel_fused(w, cfg)
-
-            jax.block_until_ready(frontend_xla(wav))
-            jax.block_until_ready(frontend_pallas(wav))
-            dt_x = _time_loop(frontend_xla, (wav,), n_iters, jax.block_until_ready)
-            dt_p = _time_loop(frontend_pallas, (wav,), n_iters, jax.block_until_ready)
+            dt_x = _time_chained(lambda w: fbank.log_mel(w, cfg)[0], wav,
+                                 n_iters, jax.block_until_ready)
+            dt_p = _time_chained(lambda w: log_mel_fused(w, cfg)[0], wav,
+                                 n_iters, jax.block_until_ready)
             details["frontend_xla_ms_per_batch"] = round(1e3 * dt_x / n_iters, 3)
             details["frontend_pallas_ms_per_batch"] = round(1e3 * dt_p / n_iters, 3)
     except Exception as e:  # noqa: BLE001 — A/B is informative, never fatal
@@ -211,8 +232,8 @@ def main() -> int:
                     jnp.float32,
                 )
             )
-            jax.block_until_ready(embed(wav_b))
-            dt = _time_loop(embed, (wav_b,), n_iters, jax.block_until_ready)
+            dt = _time_chained(_embed_math, wav_b, n_iters,
+                               jax.block_until_ready)
             sweep[b] = round(b * window_s * n_iters / dt, 1)
         details["batch_sweep_embed_only"] = sweep
 

@@ -89,8 +89,8 @@ def main() -> int:
     p.add_argument("--turns", type=int, default=10)
     p.add_argument("--turn-seconds", type=float, default=3.0)
     p.add_argument("--collar", type=float, default=0.75)
-    p.add_argument("--window", type=float, default=1.5)
-    p.add_argument("--hop", type=float, default=0.75)
+    p.add_argument("--window", type=float, default=1.0)
+    p.add_argument("--hop", type=float, default=0.375)
     p.add_argument("--known-k", action="store_true", help="give the diarizer the true speaker count")
     p.add_argument("--heldout", action="store_true",
                    help="held-out generator family (non-circular eval)")

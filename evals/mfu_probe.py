@@ -57,14 +57,27 @@ def frontend_flops_per_window(fcfg, n_frames: int) -> float:
     return float(n_frames * per_frame)
 
 
-def bench(fn, args, iters):
+def bench(fn, arr, iters):
+    """Time ``iters`` data-chained steps inside ONE jitted scan — the
+    transport dedupes identical dispatches (r4 finding: 10 identical
+    batch-1024 tower calls returned in 2.5 ms), so naive loops measure
+    the cache.  ``fn`` takes and is chained on a single array."""
     import jax
+    import jax.numpy as jnp
 
-    jax.block_until_ready(fn(*args))
+    @jax.jit
+    def run(a):
+        def body(carry, _):
+            out = fn(carry)
+            dep = jnp.ravel(out)[0].astype(jnp.float32) * 1e-30
+            return carry + dep, ()
+
+        final, _ = jax.lax.scan(body, a, None, length=iters)
+        return final
+
+    jax.block_until_ready(run(arr))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    jax.block_until_ready(run(arr))
     return (time.perf_counter() - t0) / iters
 
 
@@ -102,8 +115,8 @@ def main() -> int:
 
         for stage in stages:
             if stage == "frontend":
-                fn = jax.jit(lambda a: fbank.log_mel(a, fcfg)[0])
-                arg = (wav,)
+                fn = lambda a: fbank.log_mel(a, fcfg)[0]
+                arg = wav
                 flops = frontend_flops_per_window(fcfg, n_frames) * batch
             elif stage == "tower":
                 mcfg = EcapaConfig(channels=512)
@@ -111,8 +124,8 @@ def main() -> int:
                 variables = jax.device_put(model.init(
                     jax.random.PRNGKey(0),
                     jnp.zeros((1, 64, fcfg.n_mels))))
-                fn = jax.jit(lambda v, f: model.apply(v, f))
-                arg = (variables, feats)
+                fn = lambda f: model.apply(variables, f)
+                arg = feats
                 flops = ecapa_flops_per_window(mcfg, n_frames) * batch
             elif stage == "full":
                 mcfg = EcapaConfig(channels=512)
@@ -121,14 +134,14 @@ def main() -> int:
                     jax.random.PRNGKey(0),
                     jnp.zeros((1, 64, fcfg.n_mels))))
 
-                def full(v, a):
+                def full(a):
                     fe, mask = fbank.log_mel(a, fcfg)
-                    emb = model.apply(v, fe, mask=mask)
+                    emb = model.apply(variables, fe, mask=mask)
                     return emb / jnp.maximum(
                         jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
 
-                fn = jax.jit(full)
-                arg = (variables, wav)
+                fn = full
+                arg = wav
                 flops = (frontend_flops_per_window(fcfg, n_frames)
                          + ecapa_flops_per_window(mcfg, n_frames)) * batch
             else:

@@ -103,8 +103,8 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--output", "-o")
     parser.add_argument("--num-speakers", type=int)
     parser.add_argument("--max-speakers", type=int, default=8)
-    parser.add_argument("--window", type=float, default=1.5)
-    parser.add_argument("--hop", type=float, default=0.75)
+    parser.add_argument("--window", type=float, default=1.0)
+    parser.add_argument("--hop", type=float, default=0.375)
     parser.add_argument("--backend", "-b")
     parser.add_argument("--recording-id", default="rec")
     parser.add_argument("--eval-rttm", help="Reference RTTM: print DER after diarizing")

@@ -22,8 +22,14 @@ from ..cluster.spectral import spectral_cluster
 
 @dataclass(frozen=True)
 class DiarizeConfig:
-    window_seconds: float = 1.5
-    hop_seconds: float = 0.75
+    # r4 window sweep (docs/PERFORMANCE.md): 1.0 s windows at 0.375 s hop
+    # HALVED mean held-out DER vs the original 1.5/0.75 (0.112 -> 0.054
+    # across 7 tiers at collar 0.75; clean 18.4% -> 4.6%, overlap tier
+    # 17.8% -> 1.0%).  Shorter windows cut boundary contamination and
+    # quantization; turn-level pooling recovers the per-window SNR loss.
+    # 0.75 s windows are too short (0.172) - the knee is at 1.0 s.
+    window_seconds: float = 1.0
+    hop_seconds: float = 0.375
     sample_rate: int = 16000
     max_speakers: int = 8
     n_speakers: int | None = None  # None = eigengap auto

@@ -40,6 +40,8 @@ def train(
     noise_prob: float = 0.0,
     noise_snr_db: tuple[float, float] = (5.0, 25.0),
     aug_prob: float = 0.0,
+    bed_prob: float = 0.0,
+    bed_snr_db: tuple[float, float] = (3.0, 20.0),
     log=print,
 ):
     """``crop_seconds`` < ``seconds`` trains on random crops (with random
@@ -179,6 +181,19 @@ def train(
                 wavs = (
                     wavs + sigma * rng.standard_normal(wavs.shape)
                 ).astype(np.float32)
+        if bed_prob > 0:
+            # Structured non-speech beds (music/hum/keyboard/pink) under
+            # the speech at a random SNR: the r4 music-tier matrix showed
+            # embedder CONFUSION (26.5%) as the residual loss once the
+            # trained VAD gates windows — white noise augmentation does
+            # not cover pitched/harmonic interference.
+            from .data.nonspeech import mix_at_snr, sample_nonspeech
+
+            for i in np.nonzero(rng.uniform(size=batch) < bed_prob)[0]:
+                bed = sample_nonspeech(
+                    n_samples / SR + 0.1, int(rng.integers(1 << 30)))
+                wavs[i] = mix_at_snr(
+                    wavs[i], bed, float(rng.uniform(*bed_snr_db)))
         return wavs, cls
 
     # Host batch synthesis (procedural voices + augmentation) costs far
@@ -277,6 +292,10 @@ def main(argv=None) -> int:
                    help="Per-example probability of additive-noise augmentation")
     p.add_argument("--noise-snr", type=float, nargs=2, default=(5.0, 25.0),
                    metavar=("LO", "HI"), help="SNR range in dB for noise aug")
+    p.add_argument("--bed-prob", type=float, default=0.0,
+                   help="Per-example probability of a structured non-speech "
+                        "bed (music/hum/keyboard/pink) mixed at --bed-snr")
+    p.add_argument("--bed-snr", type=float, nargs=2, default=(3.0, 20.0))
     p.add_argument("--aug-prob", type=float, default=0.0,
                    help="Per-example probability for each channel/prosody "
                         "augmentation (speed, reverb, tilt, band-limit)")
@@ -298,6 +317,8 @@ def main(argv=None) -> int:
         ckpt_dir=args.ckpt_dir,
         ckpt_every=args.ckpt_every,
         noise_prob=args.noise_prob,
+        bed_prob=args.bed_prob,
+        bed_snr_db=tuple(args.bed_snr),
         noise_snr_db=tuple(args.noise_snr),
         aug_prob=args.aug_prob,
         log=lambda msg: print(msg, file=sys.stderr),

@@ -110,10 +110,16 @@ def test_diarizer_auto_count_robust_to_merge_tau(speakers_dir):
     wav = np.concatenate(
         [synth_utterance(0, 1, 3.0), synth_utterance(1, 2, 3.0)]
     )
+    # window pinned at 1.5/0.75: this test pins the COUNTING rule under
+    # an absurd tau, and the fake backend's spectral features need the
+    # longer window on this 6 s two-utterance fixture (the r4 1.0 s
+    # default is tuned for the trained embedding space, see DiarizeConfig)
     d = Diarizer("fake", DiarizeConfig(max_speakers=4, merge_tau=1.01,
-                                       resegment=False))
+                                       resegment=False,
+                                       window_seconds=1.5, hop_seconds=0.75))
     assert d.diarize_waveform(wav)["n_speakers"] == 2
-    d2 = Diarizer("fake", DiarizeConfig(max_speakers=4))
+    d2 = Diarizer("fake", DiarizeConfig(max_speakers=4, window_seconds=1.5,
+                                        hop_seconds=0.75))
     assert d2.diarize_waveform(wav)["n_speakers"] == 2
 
 

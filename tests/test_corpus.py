@@ -88,7 +88,11 @@ def test_benchmark_der_corpus_mode(fixture_corpus):
     one exists (VERDICT r3 missing #5)."""
     res = subprocess.run(
         [sys.executable, str(REPO_ROOT / "evals" / "benchmark_der.py"),
-         "--corpus", str(fixture_corpus), "--backend", "fake"],
+         "--corpus", str(fixture_corpus), "--backend", "fake",
+         # tone fixtures: the trained VAD rightly rejects harmonic tones
+         # as non-speech, so pin the energy gate (this test pins the
+         # corpus plumbing, not the VAD)
+         "--vad", "energy"],
         capture_output=True, text=True, cwd=str(REPO_ROOT),
     )
     assert res.returncode == 0, res.stderr[-2000:]
