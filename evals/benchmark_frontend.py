@@ -45,9 +45,11 @@ def _bench(fn, args, iters=20):
         final, _ = jax.lax.scan(body, a, None, length=iters)
         return final
 
-    jax.block_until_ready(run(args[0]))
+    jax.block_until_ready(run(args[0]))  # compile + warm
+    a2 = args[0] + 1e-6
+    jax.block_until_ready(a2)
     t0 = time.perf_counter()
-    jax.block_until_ready(run(args[0]))
+    jax.block_until_ready(run(a2))
     return (time.perf_counter() - t0) / iters * 1000.0
 
 

@@ -76,8 +76,12 @@ def bench(fn, arr, iters):
         return final
 
     jax.block_until_ready(run(arr))  # compile + warm
+    # time on a DIFFERENT buffer: a repeat of the exact (program,
+    # buffers) request can be served from the transport's cache
+    arr2 = arr + 1e-6
+    jax.block_until_ready(arr2)
     t0 = time.perf_counter()
-    jax.block_until_ready(run(arr))
+    jax.block_until_ready(run(arr2))
     return (time.perf_counter() - t0) / iters
 
 
