@@ -51,6 +51,9 @@ def main() -> int:
     else:
         shapes = [(w, l) for l in (half, L) for w in (1, 4, 16)]
         shapes.append((128, half))
+        # the diarizer's default batch shape (DiarizeConfig: 1.0 s
+        # windows, embed_chunk=128)
+        shapes.append((128, 16000))
 
     for w, l in shapes:
         arr = np.zeros((w, l), np.float32)
