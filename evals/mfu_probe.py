@@ -122,8 +122,15 @@ def main() -> int:
                 fn = lambda a: fbank.log_mel(a, fcfg)[0]
                 arg = wav
                 flops = frontend_flops_per_window(fcfg, n_frames) * batch
-            elif stage == "tower":
-                mcfg = EcapaConfig(channels=512)
+            elif stage in ("tower", "tower_s4"):
+                # tower_s4: Res2 scale 8→4 doubles the group-conv width
+                # (64→128 output channels) — the what-if for the MFU
+                # ceiling analysis: N=64 lanes under-fill the 256-lane
+                # MXU tiles, and the 7 sequential group convs are ~26%
+                # of tower FLOPs.  Architecture variant, perf-only
+                # (random weights; serving would need retraining).
+                mcfg = EcapaConfig(channels=512,
+                                   scale=4 if stage == "tower_s4" else 8)
                 model = EcapaTdnn(mcfg)
                 variables = jax.device_put(model.init(
                     jax.random.PRNGKey(0),
