@@ -272,11 +272,31 @@ class LocalEmbeddingBackend(EmbeddingBackend):
             return []
         wav = self._load(audio_path, segments)
         queries = np.asarray(self.embed_windows(wav), dtype=np.float32)  # (W, D)
-        sims = self.score_matrix(queries, pm.matrix)  # (W, N) calibrated
-        best_per_row = sims.max(axis=0)  # (N,) best window per profile row
+
+        import os as _os
+
+        fused_n = int(_os.environ.get("SDTK_IDENTIFY_TOPK_N", "8192"))
+        if len(pm) >= fused_n and self.cohort is None:
+            # Large-N regime: fused cosine→window-max→top-k kernel
+            # (ops/topk.py) — the (W, N) score matrix never materializes
+            # and nothing is sorted.  Only the top 64 profile rows come
+            # back (the serving cap; cf. the reference's 50-identifier
+            # API limit, speechmatics_backend.py:425) — calibration is
+            # affine/monotonic so applying it to the survivors is exact.
+            from ..ops.topk import identify_topk
+
+            top_s, top_i = identify_topk(
+                queries, pm.matrix, k=min(64, len(pm))
+            )
+            top_s = np.asarray(self.calibrate_score(top_s), dtype=np.float32)
+            row_iter = ((pm.rows[int(i)], s) for i, s in zip(top_i, top_s))
+        else:
+            sims = self.score_matrix(queries, pm.matrix)  # (W, N) calibrated
+            best_per_row = sims.max(axis=0)  # (N,) best window per profile
+            row_iter = zip(pm.rows, best_per_row)
 
         best: dict[str, tuple[float, str]] = {}
-        for row, sim in zip(pm.rows, best_per_row):
+        for row, sim in row_iter:
             sid = row["speaker_id"]
             if sid not in best or sim > best[sid][0]:
                 best[sid] = (float(sim), row["embedding_id"])
