@@ -217,6 +217,63 @@ def apply_telephone(x: np.ndarray) -> np.ndarray:
     return out
 
 
+def heldout_music(seconds: float, seed: int = 0, sr: int = SR) -> np.ndarray:
+    """Held-out music bed — implementation-disjoint from the training bed
+    generator (data/nonspeech.music: additive harmonic CHORDS on a bar
+    grid with a fixed 0.5 s thump pulse).  This one is an FM-synthesized
+    MELODY (vibrato, random-walk pentatonic line on a swung eighth-note
+    grid), a slowly swelling band-passed noise pad, and a long-short
+    swing percussion pattern.  The eval tier must not share a generator
+    with training's ``--bed-prob`` augmentation — the same circularity
+    rule as the held-out voice family (r2 finding)."""
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    x = np.zeros(n, np.float64)
+    # melody: FM voice over a pentatonic random walk
+    scale = np.array([0, 2, 4, 7, 9])
+    base = float(rng.uniform(180.0, 420.0))
+    step = float(rng.uniform(0.22, 0.45))
+    deg, tm = 0, 0.0
+    while tm < seconds:
+        dur = step * (1.5 if rng.uniform() < 0.3 else 1.0)
+        a, z = int(tm * sr), min(n, int((tm + dur) * sr))
+        if a >= z:
+            break
+        deg = int(np.clip(deg + rng.integers(-2, 3), -5, 9))
+        f = base * 2.0 ** ((scale[deg % 5] + 12 * (deg // 5)) / 12.0)
+        tb = t[a:z] - t[a]
+        vib = 1.0 + 0.01 * np.sin(2 * np.pi * 5.5 * tb)
+        phase = 2 * np.pi * f * vib * tb + float(
+            rng.uniform(1.0, 3.0)
+        ) * np.sin(2 * np.pi * 2 * f * tb)
+        env = np.minimum(tb / 0.02, 1.0) * np.exp(
+            -tb / float(rng.uniform(0.25, 0.6))
+        )
+        x[a:z] += env * np.sin(phase)
+        tm += dur
+    # pad: band-passed noise with a slow amplitude swell
+    spec = np.fft.rfft(rng.standard_normal(n))
+    freqs = np.fft.rfftfreq(n, 1 / sr)
+    band = np.exp(-0.5 * ((freqs - rng.uniform(300.0, 900.0)) / 250.0) ** 2)
+    pad = np.fft.irfft(spec * band, n)
+    swell = 0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(0.05, 0.2) * t)
+    x += 0.4 * pad / (np.abs(pad).max() + 1e-9) * swell
+    # percussion: long-short swing, slower decay than the training thump
+    beat, k, tp = float(rng.uniform(0.4, 0.7)), 0, 0.0
+    while tp < seconds:
+        a, dur = int(tp * sr), int(0.08 * sr)
+        if a + 4 >= n:
+            break
+        burst = rng.standard_normal(dur) * np.exp(
+            -np.arange(dur) / (0.025 * sr)
+        )
+        x[a : a + dur] += (0.6 if k % 2 == 0 else 0.3) * burst[: max(0, n - a)]
+        tp += beat * (1.32 if k % 2 == 0 else 0.68)
+        k += 1
+    return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
+
+
 TIERS = ("clean", "noise", "reverb", "telephone", "music")
 
 
@@ -233,9 +290,11 @@ def apply_tier(x: np.ndarray, tier: str, seed: int = 0,
     if tier == "music":
         # continuous music bed under the WHOLE meeting (including any
         # silence gaps) — the tier that separates a trained VAD from the
-        # energy gate, which clusters music-only windows as speakers
-        from .nonspeech import mix_at_snr, music
+        # energy gate, which clusters music-only windows as speakers.
+        # Uses the HELD-OUT bed generator, never the training one
+        # (data/nonspeech.music feeds --bed-prob augmentation).
+        from .nonspeech import mix_at_snr
 
-        bed = music(len(x) / 16000.0 + 1.0, seed=seed + 77)
+        bed = heldout_music(len(x) / 16000.0 + 1.0, seed=seed + 77)
         return mix_at_snr(x, bed, snr_db)
     raise ValueError(f"unknown tier '{tier}' (use one of {TIERS})")

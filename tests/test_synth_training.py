@@ -118,3 +118,33 @@ def test_train_other_towers(tmp_path, model_name):
           channels=32, model_name=model_name, out_path=out, log_every=1,
           log=lambda m: None)
     assert out.exists()
+
+
+def test_music_tier_uses_heldout_bed(monkeypatch):
+    """The eval music tier must NOT share a generator with training's
+    --bed-prob augmentation (data/nonspeech.music) — same circularity
+    rule as the held-out voice family.  apply_tier must succeed even
+    when the training bed generator is unusable."""
+    from sdtk_tpu.data import nonspeech, synth_heldout
+
+    def _boom(*a, **k):
+        raise AssertionError("training bed generator used by the eval tier")
+
+    monkeypatch.setattr(nonspeech, "music", _boom)
+    x = np.sin(np.arange(16000) / 20.0).astype(np.float32)
+    y = synth_heldout.apply_tier(x, "music", seed=3, snr_db=10.0)
+    assert y.shape == x.shape and np.isfinite(y).all()
+    assert not np.allclose(y, x)  # a bed was actually mixed in
+
+
+def test_heldout_music_distinct_and_deterministic():
+    from sdtk_tpu.data import nonspeech, synth_heldout
+
+    a = synth_heldout.heldout_music(2.0, seed=5)
+    b = synth_heldout.heldout_music(2.0, seed=5)
+    c = synth_heldout.heldout_music(2.0, seed=6)
+    np.testing.assert_array_equal(a, b)
+    assert not np.allclose(a, c)
+    # and nothing like the training bed with the same seed
+    d = nonspeech.music(2.0, seed=5)
+    assert np.corrcoef(a, d)[0, 1] ** 2 < 0.05
