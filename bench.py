@@ -182,6 +182,36 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001 — A/B is informative, never fatal
         details["frontend_ab_error"] = str(e)[:200]
 
+    # Large-N identify scoring A/B: fused Pallas cosine→window-max→top-k
+    # (ops/topk.py) vs the XLA decomposition with pre-normalized profiles
+    # (XLA's best case).  The serving shape: one identify call's windows
+    # against a 100k-profile enrolled matrix.
+    try:
+        if jax.devices()[0].platform == "tpu":
+            from sdtk_tpu.ops import topk as _topk
+
+            n_prof, w_q, d_q = 100_000, 64, 192
+            rngp = np.random.default_rng(3)
+            prof_raw = rngp.standard_normal((n_prof, d_q)).astype(np.float32)
+            prof = jax.device_put(jnp.asarray(prof_raw, jnp.bfloat16))
+            prof_norm = jax.device_put(jnp.asarray(
+                prof_raw / np.linalg.norm(prof_raw, axis=1, keepdims=True),
+                jnp.bfloat16))
+            q_dev = jax.device_put(jnp.asarray(
+                rngp.standard_normal((w_q, d_q)), jnp.float32))
+            dt_tp = _time_chained(
+                lambda qq: _topk.identify_topk_pallas(qq, prof, k=64)[0],
+                q_dev, n_iters, jax.block_until_ready)
+            dt_tx = _time_chained(
+                lambda qq: _topk.identify_topk_xla(
+                    qq, prof_norm, k=64, assume_normalized=True)[0],
+                q_dev, n_iters, jax.block_until_ready)
+            details["topk100k_pallas_ms"] = round(1e3 * dt_tp / n_iters, 3)
+            details["topk100k_xla_ms"] = round(1e3 * dt_tx / n_iters, 3)
+            details["topk100k_pallas_speedup"] = round(dt_tx / dt_tp, 2)
+    except Exception as e:  # noqa: BLE001 — informative, never fatal
+        details["topk_ab_error"] = str(e)[:200]
+
     # Host→device transfer overlap: production feeds fresh host batches,
     # so measure (a) serial put→compute and (b) double-buffered — the
     # next batch's H2D enqueued while the current batch computes.  The
