@@ -132,8 +132,10 @@ def identify_topk_pallas(
             out_s = jnp.where(out_lane == t, vmax, out_s)
             out_i = jnp.where(out_lane == t, amax, out_i)
             m = jnp.where(gidx == amax, -jnp.inf, m)
-        s_ref[:] = out_s
-        i_ref[:] = out_i
+        # Mosaic requires (8, 128)-divisible output blocks: broadcast the
+        # (1, 128) result over the 8 sublanes; the merge reads row 0.
+        s_ref[0] = jnp.broadcast_to(out_s, (8, 128))
+        i_ref[0] = jnp.broadcast_to(out_i, (8, 128))
 
     cand_s, cand_i = pl.pallas_call(
         kernel,
@@ -144,12 +146,14 @@ def identify_topk_pallas(
             pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 128), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nblocks, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nblocks, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nblocks, 8, 128), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -157,8 +161,8 @@ def identify_topk_pallas(
     )(queries, profiles)
 
     # final merge over nblocks·block_k survivors (tiny vs N)
-    flat_s = cand_s[:, :block_k].reshape(-1)
-    flat_i = cand_i[:, :block_k].reshape(-1)
+    flat_s = cand_s[:, 0, :block_k].reshape(-1)
+    flat_i = cand_i[:, 0, :block_k].reshape(-1)
     k_eff = min(k, n)
     top_s, pos = jax.lax.top_k(flat_s, min(k_eff, flat_s.shape[0]))
     top_i = jnp.take(flat_i, pos)
