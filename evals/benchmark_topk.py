@@ -28,27 +28,31 @@ if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
 
-def _bench(fn, q0, iters=20):
+def _bench(fn, q0, p, iters=20):
     """Chained-scan timing (single dispatch; the transport dedupes
-    identical dispatches — see evals/benchmark_frontend.py)."""
+    identical dispatches — see evals/benchmark_frontend.py).
+
+    The profile matrix is a jit ARGUMENT, never a closure capture: the
+    remote-compile transport serializes closure constants into the
+    compile request body and rejects it past ~32 MB (HTTP 413)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(q):
+    def run(q, p):
         def body(carry, _):
-            s, i = fn(carry)
+            s, i = fn(carry, p)
             dep = (s[0] * 1e-30 + i[0].astype(jnp.float32) * 1e-30)
             return carry + dep, ()
 
         final, _ = jax.lax.scan(body, q, None, length=iters)
         return final
 
-    jax.block_until_ready(run(q0))  # compile + warm
+    jax.block_until_ready(run(q0, p))  # compile + warm
     q1 = q0 + 1e-6
     jax.block_until_ready(q1)
     t0 = time.perf_counter()
-    jax.block_until_ready(run(q1))
+    jax.block_until_ready(run(q1, p))
     return (time.perf_counter() - t0) / iters * 1000.0
 
 
@@ -90,16 +94,16 @@ def main() -> int:
         pn = p_raw / np.linalg.norm(p_raw, axis=1, keepdims=True)
         p_norm = jax.device_put(jnp.asarray(pn, jnp.bfloat16))
 
-        pallas_fn = lambda qq: topk.identify_topk_pallas(  # noqa: E731
-            qq, p, k=args.k, tile_n=args.tile_n, interpret=None
+        pallas_fn = lambda qq, pp: topk.identify_topk_pallas(  # noqa: E731
+            qq, pp, k=args.k, tile_n=args.tile_n, interpret=None
         )
-        xla_fn = lambda qq: topk.identify_topk_xla(  # noqa: E731
-            qq, p_norm, k=args.k, assume_normalized=True
+        xla_fn = lambda qq, pp: topk.identify_topk_xla(  # noqa: E731
+            qq, pp, k=args.k, assume_normalized=True
         )
 
         # parity before timing: identical survivor sets
-        s_pl, i_pl = jax.jit(pallas_fn)(q)
-        s_xl, i_xl = jax.jit(xla_fn)(q)
+        s_pl, i_pl = jax.jit(pallas_fn)(q, p)
+        s_xl, i_xl = jax.jit(xla_fn)(q, p_norm)
         overlap = len(
             set(np.asarray(i_pl).tolist()) & set(np.asarray(i_xl).tolist())
         ) / max(args.k, 1)
@@ -107,8 +111,8 @@ def main() -> int:
             np.abs(np.sort(np.asarray(s_pl)) - np.sort(np.asarray(s_xl))).max()
         )
 
-        pallas_ms = _bench(pallas_fn, q, args.iters)
-        xla_ms = _bench(xla_fn, q, args.iters)
+        pallas_ms = _bench(pallas_fn, q, p, args.iters)
+        xla_ms = _bench(xla_fn, q, p_norm, args.iters)
         out["sizes"][str(n)] = {
             "pallas_ms": round(pallas_ms, 3),
             "xla_ms": round(xla_ms, 3),

@@ -12,11 +12,19 @@ the serving question only needs the top handful of profiles.
 
 ``identify_topk_pallas`` streams bf16 profile blocks HBM→VMEM once,
 normalizes in-flight, fuses the window-max epilogue into the GEMM block,
-and keeps a per-block top-k (k ≤ 8) so the score matrix never exists in
-HBM and nothing is ever sorted: the only HBM traffic is the one
-irreducible read of the profile matrix, the compute is one MXU GEMM per
-block, and the final merge runs over nblocks·k ≈ N/256 candidates.
-A/B harness: ``evals/benchmark_topk.py`` (dedupe-proof chained timing).
+and keeps a per-block top-k so the score matrix never exists in HBM and
+nothing is ever sorted.  **Measured outcome (r4, real v5e): the kernel
+LOSES** — 2.3 ms vs XLA 1.27 ms at (W=64, N=10⁵) and 13.6 vs 3.0 ms at
+N=10⁶; at W=512/N=10⁶ XLA needs only 3.9 ms, which proves XLA fuses the
+window-max into the GEMM consumer and never materializes the (W, N)
+matrix either — the fused-traffic thesis this kernel was built on does
+not hold, and the kernel's own per-block top-64 selection (unrolled
+max+mask passes, ~28 µs/block of serial VPU latency the DMA cannot
+hide) is its bottleneck.  The serving dispatcher therefore routes to
+``identify_topk_xla`` (still the big win vs the old path: the host
+never sees a (W, N) matrix); the kernel stays in-tree and tested as
+the seam for shapes where selection can be restructured.  A/B:
+``evals/benchmark_topk.py`` (dedupe-proof chained timing).
 
 The per-query-count cap this imposes (top ``k_candidates`` profiles per
 identify) mirrors the reference's own serving cap — Speechmatics accepts
@@ -190,7 +198,13 @@ def identify_topk(
     profiles = (
         profiles if isinstance(profiles, jax.Array) else jnp.asarray(profiles)
     )
-    if jax.default_backend() == "tpu":
+    # XLA decomposition on every backend — the measured winner on TPU at
+    # all tested (W, N); see the module docstring.  SDTK_TOPK_PALLAS=1
+    # flips to the kernel for re-measurement on new hardware/shapes.
+    import os
+
+    if os.environ.get("SDTK_TOPK_PALLAS") == "1" and \
+            jax.default_backend() == "tpu":
         s, i = _jit_pallas(queries, profiles, k=k)
     else:
         s, i = identify_topk_xla(queries, profiles, k=k)
