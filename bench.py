@@ -199,13 +199,34 @@ def main() -> int:
                 jnp.bfloat16))
             q_dev = jax.device_put(jnp.asarray(
                 rngp.standard_normal((w_q, d_q)), jnp.float32))
-            dt_tp = _time_chained(
-                lambda qq: _topk.identify_topk_pallas(qq, prof, k=64)[0],
-                q_dev, n_iters, jax.block_until_ready)
-            dt_tx = _time_chained(
-                lambda qq: _topk.identify_topk_xla(
-                    qq, prof_norm, k=64, assume_normalized=True)[0],
-                q_dev, n_iters, jax.block_until_ready)
+
+            # profiles ride as jit ARGUMENTS: closure-captured arrays are
+            # serialized into the remote-compile request, which rejects
+            # bodies past ~32 MB (HTTP 413)
+            def _time_topk(fn, pp):
+                @jax.jit
+                def run(q, p):
+                    def body(carry, _):
+                        out = fn(carry, p)
+                        return carry + out[0] * 1e-30, ()
+
+                    final, _ = jax.lax.scan(body, q, None, length=n_iters)
+                    return final
+
+                jax.block_until_ready(run(q_dev, pp))
+                q1 = q_dev + 1e-6
+                jax.block_until_ready(q1)
+                t0 = time.perf_counter()
+                jax.block_until_ready(run(q1, pp))
+                return time.perf_counter() - t0
+
+            dt_tp = _time_topk(
+                lambda qq, pp: _topk.identify_topk_pallas(qq, pp, k=64)[0],
+                prof)
+            dt_tx = _time_topk(
+                lambda qq, pp: _topk.identify_topk_xla(
+                    qq, pp, k=64, assume_normalized=True)[0],
+                prof_norm)
             details["topk100k_pallas_ms"] = round(1e3 * dt_tp / n_iters, 3)
             details["topk100k_xla_ms"] = round(1e3 * dt_tx / n_iters, 3)
             details["topk100k_pallas_speedup"] = round(dt_tx / dt_tp, 2)
