@@ -123,7 +123,20 @@ def main() -> int:
 
     wins = [v["speedup"] > 1.0 for v in out["sizes"].values()]
     out["pallas_wins_all"] = all(wins)
+    # Parity is a HARD gate, not an FYI: an exactness regression on real
+    # hardware (where the unit tests' interpret mode never runs) must
+    # fail the A/B loudly (r4 ADVICE).  Tolerance covers bf16-matmul
+    # rounding between the two decompositions.
+    parity_ok = all(
+        v["survivor_overlap"] >= 1.0 and v["max_score_diff"] <= 5e-2
+        for v in out["sizes"].values()
+    )
+    out["parity_ok"] = parity_ok
     print(json.dumps(out))
+    if not parity_ok:
+        print("PARITY FAILURE: pallas/xla survivor sets or scores "
+              "diverge beyond bf16 tolerance", file=sys.stderr)
+        return 1
     return 0
 
 

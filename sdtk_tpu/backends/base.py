@@ -177,6 +177,14 @@ class LocalEmbeddingBackend(EmbeddingBackend):
     cohort: np.ndarray | None = None
     asnorm_top_k: int = 64
 
+    # Contract flag for the fused large-N identify route: True asserts the
+    # backend's calibrate_score is MONOTONIC (top-k-then-calibrate ==
+    # calibrate-then-top-k, so calibrating only the k survivors is exact).
+    # A backend with a non-monotone calibration must set this False to
+    # force the dense score_matrix path (r4 ADVICE: gating on cohort alone
+    # would silently return wrong survivors for such a backend).
+    monotonic_calibration: bool = True
+
     @abstractmethod
     def embed_waveform(self, wav: np.ndarray) -> np.ndarray:
         """float32 mono waveform @ self.sample_rate → (embedding_dim,)."""
@@ -215,6 +223,11 @@ class LocalEmbeddingBackend(EmbeddingBackend):
         may override this with a measured calibration that places their
         EER operating point at 0.354 (see TpuBackend +
         evals/calibrate_threshold.py).  Default: identity (raw cosine).
+
+        Contract: overrides must be MONOTONIC non-decreasing in the raw
+        score (the fused identify route calibrates only top-k survivors,
+        which is exact iff order is preserved).  An override that breaks
+        monotonicity must also set ``monotonic_calibration = False``.
         """
         return sims
 
@@ -275,19 +288,35 @@ class LocalEmbeddingBackend(EmbeddingBackend):
 
         import os as _os
 
-        fused_n = int(_os.environ.get("SDTK_IDENTIFY_TOPK_N", "8192"))
-        if len(pm) >= fused_n and self.cohort is None:
-            # Large-N regime: fused cosine→window-max→top-k kernel
+        try:
+            fused_n = int(_os.environ.get("SDTK_IDENTIFY_TOPK_N", "8192"))
+        except ValueError:
+            print("Warning: malformed SDTK_IDENTIFY_TOPK_N "
+                  f"{_os.environ['SDTK_IDENTIFY_TOPK_N']!r}; using 8192",
+                  file=__import__("sys").stderr)
+            fused_n = 8192
+        if (len(pm) >= fused_n and self.cohort is None
+                and self.monotonic_calibration):
+            # Large-N regime: fused cosine→window-max→top-k
             # (ops/topk.py) — the (W, N) score matrix never materializes
-            # and nothing is sorted.  Only the top 64 profile rows come
-            # back (the serving cap; cf. the reference's 50-identifier
-            # API limit, speechmatics_backend.py:425) — calibration is
-            # affine/monotonic so applying it to the survivors is exact.
+            # and nothing is sorted.  Only the top 64 profile ROWS
+            # (embeddings, not speakers) come back — the serving cap;
+            # cf. the reference's 50-identifier API limit,
+            # speechmatics_backend.py:425.  k scales with the store's
+            # max embeddings-per-speaker so a speaker whose best row
+            # would rank below 64 among ROWS still surfaces: with E =
+            # max embeddings per speaker, the top 64 distinct speakers'
+            # best rows all sit within the top 64*E rows (r4 ADVICE).
+            # Calibration is monotonic (gated above) so calibrating
+            # only the survivors is exact.
             from ..ops.topk import identify_topk
 
-            top_s, top_i = identify_topk(
-                queries, pm.matrix, k=min(64, len(pm))
-            )
+            per_spk: dict[str, int] = {}
+            for row in pm.rows:
+                sid = row["speaker_id"]
+                per_spk[sid] = per_spk.get(sid, 0) + 1
+            k = min(64 * max(per_spk.values(), default=1), len(pm))
+            top_s, top_i = identify_topk(queries, pm.matrix, k=k)
             top_s = np.asarray(self.calibrate_score(top_s), dtype=np.float32)
             row_iter = ((pm.rows[int(i)], s) for i, s in zip(top_i, top_s))
         else:

@@ -198,6 +198,19 @@ def identify_topk(
     profiles = (
         profiles if isinstance(profiles, jax.Array) else jnp.asarray(profiles)
     )
+    # Bucket the window count to the next power of two (min 8) by
+    # duplicating the first row — max-over-windows is invariant to
+    # duplicates, and W varies with audio length, so without bucketing
+    # every distinct recording length would trigger a fresh jit compile
+    # (painful on CPU deployments where the old NumPy path had no such
+    # cost — r4 ADVICE).  log2 buckets bound the compile count.
+    w = queries.shape[0]
+    w_b = max(8, 1 << (w - 1).bit_length())
+    if w_b != w:
+        queries = jnp.concatenate(
+            [queries,
+             jnp.broadcast_to(queries[:1], (w_b - w, queries.shape[1]))]
+        )
     # XLA decomposition on every backend — the measured winner on TPU at
     # all tested (W, N); see the module docstring.  SDTK_TOPK_PALLAS=1
     # flips to the kernel for re-measurement on new hardware/shapes.

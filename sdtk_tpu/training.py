@@ -28,6 +28,7 @@ def train(
     seconds: float = 3.0,
     crop_seconds: float = 1.5,
     channels: int = 512,
+    scale: int = 8,
     model_name: str = "ecapa",
     lr: float = 1e-3,
     mesh_spec: str = "",
@@ -66,7 +67,7 @@ def train(
 
     fcfg = fbank.FrontendConfig()
     if model_name == "ecapa":
-        model = EcapaTdnn(EcapaConfig(channels=channels))
+        model = EcapaTdnn(EcapaConfig(channels=channels, scale=scale))
     elif model_name == "xvector":
         from .models import XVector, XVectorConfig
 
@@ -279,6 +280,10 @@ def main(argv=None) -> int:
     p.add_argument("--seconds", type=float, default=3.0)
     p.add_argument("--crop-seconds", type=float, default=1.5)
     p.add_argument("--channels", type=int, default=512)
+    p.add_argument("--scale", type=int, default=8,
+                   help="ECAPA Res2Net scale (8 = reference topology; 4 "
+                        "doubles group-conv width to 128 lanes — the MFU "
+                        "ceiling what-if, evals/mfu_probe.py tower_s4)")
     p.add_argument("--model", default="ecapa",
                    choices=["ecapa", "xvector", "conformer"])
     p.add_argument("--lr", type=float, default=1e-3)
@@ -308,6 +313,7 @@ def main(argv=None) -> int:
         seconds=args.seconds,
         crop_seconds=args.crop_seconds,
         channels=args.channels,
+        scale=args.scale,
         model_name=args.model,
         lr=args.lr,
         mesh_spec=args.mesh,
