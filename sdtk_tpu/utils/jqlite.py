@@ -24,6 +24,16 @@ reference's documented workflows actually use, with real jq semantics:
   ``else`` defaults to identity, jq semantics);
 - folds: ``reduce SRC as $x (INIT; UPDATE)`` and
   ``foreach SRC as $x (INIT; UPDATE[; EXTRACT])``;
+- user functions: ``def f: BODY;``, ``def f(g; $x): BODY;`` — filter
+  params are call-site closures, ``$params`` bind the evaluated
+  argument stream, recursion works, defs shadow builtins (jq
+  semantics; scoped over the remainder of the program);
+- error handling: ``try EXPR``, ``try EXPR catch HANDLER`` (handler
+  input = the error message);
+- regex builtins (Python ``re`` as the engine; jq's ``(?<name>…)``
+  named groups are translated): test, match, capture, scan, splits,
+  split/2, sub, gsub — with ``g``/``i``/``x``/``s``/``m`` modifier
+  flags and jq-shaped match/capture objects;
 - builtins: length, keys, keys_unsorted, values, has, contains, inside,
   select, map, group_by, sort, sort_by, unique, unique_by, add, min,
   max, min_by, max_by, reverse, flatten, range, floor, ceil, round,
@@ -32,10 +42,9 @@ reference's documented workflows actually use, with real jq semantics:
   ascii_downcase, ascii_upcase, join, split, to_entries, from_entries.
 
 Out of scope — and failing LOUDLY with :class:`JqError`, never silently
-returning wrong data: ``def`` user functions, destructuring patterns
-after ``as``, ``try/catch``, ``label``, regex builtins
-(``test``/``match``), paths/``del``/assignment, ``@base64``-style
-formats, recursive descent ``..``.
+returning wrong data: destructuring patterns after ``as``, ``label``,
+paths/``del``/assignment, ``@base64``-style formats, recursive descent
+``..``.
 
 Public API (unchanged): :func:`query`, :func:`query_lines`,
 :class:`JqError`.
@@ -216,10 +225,10 @@ def _scan_string(src: str, i: int) -> tuple[list[Any], int]:
 _RESERVED = {"and", "or", "not", "as", "def", "reduce", "foreach", "if",
              "then", "elif", "else", "end", "try", "catch", "import",
              "include", "label"}
-_UNSUPPORTED_KW = {"def", "try", "catch", "import", "include", "label"}
+_UNSUPPORTED_KW = {"import", "include", "label"}
 # Keywords that terminate an expression (consumed by the if/reduce
 # parsers, never valid as a function call).
-_STOP_KW = {"then", "elif", "else", "end", "as"}
+_STOP_KW = {"then", "elif", "else", "end", "as", "catch"}
 
 
 class _Parser:
@@ -241,8 +250,12 @@ class _Parser:
             raise JqError(f"expected {kind!r}, got {t.kind!r}")
         return t
 
-    # pipe := comma ('as' $var '|' pipe | ('|' comma)*)
+    # pipe := 'def' NAME params? ':' pipe ';' pipe
+    #       | comma ('as' $var '|' pipe | ('|' pipe-tail)*)
     def parse_pipe(self):
+        t = self.peek()
+        if t.kind == "ident" and t.value == "def":
+            return self._parse_def()
         node = self.parse_comma()
         if self.peek().kind == "ident" and self.peek().value == "as":
             self.next()
@@ -254,8 +267,47 @@ class _Parser:
             return ("bind", node, t.value, self.parse_pipe())
         while self.peek().kind == "|":
             self.next()
+            nxt = self.peek()
+            if nxt.kind == "ident" and nxt.value == "def":
+                # `a | def f: ...; b` — the def scopes over the whole
+                # remainder, which parse_pipe handles recursively.
+                return ("pipe", node, self.parse_pipe())
             node = ("pipe", node, self.parse_comma())
         return node
+
+    def _parse_def(self):
+        """def NAME: BODY; REST / def NAME(p1; p2): BODY; REST — the
+        definition is lexically scoped over REST (jq semantics).  Params
+        are either filter names (callable inside the body with the
+        call-site argument expression as a closure) or ``$names`` (the
+        argument stream is evaluated at the call site and bound as a
+        variable)."""
+        self.next()  # 'def'
+        t = self.next()
+        if t.kind != "ident":
+            raise JqError("expected a function name after 'def'")
+        fname = t.value
+        params: list[str] = []
+        if self.peek().kind == "(":
+            self.next()
+            while True:
+                p = self.next()
+                if p.kind == "var":
+                    params.append("$" + p.value)
+                elif p.kind == "ident":
+                    params.append(p.value)
+                else:
+                    raise JqError("expected parameter name in def")
+                if self.peek().kind == ";":
+                    self.next()
+                    continue
+                self.expect(")")
+                break
+        self.expect(":")
+        body = self.parse_pipe()
+        self.expect(";")
+        rest = self.parse_pipe()
+        return ("funcdef", fname, params, body, rest)
 
     # comma := alt (',' alt)*
     def parse_comma(self):
@@ -413,6 +465,18 @@ class _Parser:
                 return self._parse_if()
             if name in ("reduce", "foreach"):
                 return self._parse_reduce(name)
+            if name == "try":
+                # try EXPR (catch HANDLER)? — errors in EXPR are
+                # suppressed; with catch, the handler runs with the
+                # error message as its input (jq semantics).
+                self.next()
+                tried = self.parse_postfix()
+                handler = None
+                t2 = self.peek()
+                if t2.kind == "ident" and t2.value == "catch":
+                    self.next()
+                    handler = self.parse_postfix()
+                return ("trycatch", tried, handler)
             if name in _STOP_KW:
                 raise JqError(f"unexpected keyword '{name}'")
             if name in _UNSUPPORTED_KW:
@@ -776,6 +840,22 @@ def _eval(node, value: Any, env: dict[str, Any] | None = None) -> Iterator[Any]:
             yield from list(_eval(node[1], value, env))
         except JqError:
             return
+    elif kind == "trycatch":
+        try:
+            yield from list(_eval(node[1], value, env))
+        except JqError as e:
+            if node[2] is not None:
+                # handler input = the error message (jq strips the
+                # "error: " prefix from error(msg) payloads)
+                msg = str(e)
+                msg = msg[7:] if msg.startswith("error: ") else msg
+                yield from _eval(node[2], msg, env)
+    elif kind == "funcdef":
+        _, fname, params, body, rest = node
+        rec = {"name": fname, "params": params, "body": body, "env": env}
+        yield from _eval(
+            rest, value, {**(env or {}), f"fn:{fname}/{len(params)}": rec}
+        )
     elif kind == "array":
         yield [] if node[1] is None else list(_eval(node[1], value, env))
     elif kind == "object":
@@ -863,7 +943,109 @@ def _const_arg(name: str, args: list, value: Any, env: dict[str, Any] | None = N
     return outs[0]
 
 
+def _call_user(rec: dict, args: list, value: Any,
+               call_env: dict[str, Any] | None) -> Iterator[Any]:
+    """Invoke a user-defined function (``def``).  Filter params bind the
+    call-site argument EXPRESSION as a zero-arg closure (evaluated in the
+    call-site env each time the body invokes it); ``$name`` params
+    evaluate the argument at the call site and bind the value stream
+    (cartesian over multiple outputs, jq semantics).  The function's own
+    record is re-inserted into its env so recursion works."""
+    params, body = rec["params"], rec["body"]
+    base = dict(rec["env"] or {})
+    base[f"fn:{rec['name']}/{len(params)}"] = rec
+
+    def go(i: int, acc: dict) -> Iterator[Any]:
+        if i == len(params):
+            yield from _eval(body, value, acc)
+            return
+        p, a = params[i], args[i]
+        if p.startswith("$"):
+            for v in _eval(a, value, call_env):
+                yield from go(i + 1, {**acc, p[1:]: v})
+        else:
+            closure = {"name": p, "params": [], "body": a, "env": call_env}
+            yield from go(i + 1, {**acc, f"fn:{p}/0": closure})
+
+    yield from go(0, base)
+
+
+def _compile_regex(pat: Any, flags: Any) -> tuple["re.Pattern[str]", bool]:
+    """jq (Oniguruma) regex + modifier string → compiled Python pattern +
+    global flag.  Named groups use jq's ``(?<name>…)`` spelling, which is
+    rewritten to Python's ``(?P<name>…)`` (lookbehinds excluded)."""
+    if not isinstance(pat, str):
+        raise JqError(f"{_type_name(pat)} cannot be matched, as it is not "
+                      "a string")
+    f, global_ = 0, False
+    for ch in flags or "":
+        if ch == "g":
+            global_ = True
+        elif ch == "i":
+            f |= re.IGNORECASE
+        elif ch == "x":
+            f |= re.VERBOSE
+        elif ch == "s":
+            f |= re.DOTALL
+        elif ch == "m":
+            f |= re.MULTILINE
+        elif ch == "n":
+            pass  # "ignore empty matches" — Python's finditer already
+            # advances past empty matches safely
+        else:
+            raise JqError(f"{flags} is not a valid modifier string")
+    try:
+        return re.compile(re.sub(r"\(\?<(?![=!])", "(?P<", pat), f), global_
+    except re.error as e:
+        raise JqError(f"invalid regex {pat!r}: {e}") from None
+
+
+def _regex_args(name: str, args: list, value: Any,
+                env: dict[str, Any] | None,
+                n_extra: int = 0) -> tuple["re.Pattern[str]", bool, list]:
+    """Evaluate (re[, …extras][, flags]) arguments for a regex builtin."""
+    if not (1 + n_extra) <= len(args) <= (2 + n_extra):
+        raise JqError(f"{name} expects {1 + n_extra} or {2 + n_extra} "
+                      "arguments")
+    vals = [_const_arg(name, [a], value, env) for a in args]
+    pat = vals[0]
+    extras = vals[1 : 1 + n_extra]
+    flags = vals[1 + n_extra] if len(vals) > 1 + n_extra else ""
+    if flags and not isinstance(flags, str):
+        raise JqError(f"{name}: flags must be a string")
+    if not isinstance(value, str):
+        raise JqError(f"{_type_name(value)} cannot be matched, as it is "
+                      "not a string")
+    rx, global_ = _compile_regex(pat, flags)
+    return rx, global_, extras
+
+
+def _match_object(m: "re.Match[str]") -> dict:
+    names = {v: k for k, v in m.re.groupindex.items()}
+    captures = []
+    for gi in range(1, m.re.groups + 1):
+        s = m.group(gi)
+        captures.append({
+            "offset": m.start(gi) if s is not None else -1,
+            "length": 0 if s is None else m.end(gi) - m.start(gi),
+            "string": s,
+            "name": names.get(gi),
+        })
+    return {"offset": m.start(), "length": m.end() - m.start(),
+            "string": m.group(0), "captures": captures}
+
+
+def _capture_object(m: "re.Match[str]") -> dict:
+    return {k: m.group(k) for k in m.re.groupindex}
+
+
 def _call(name: str, args: list, value: Any, env: dict[str, Any] | None = None) -> Iterator[Any]:
+    # user-defined functions (def) shadow builtins at the same arity
+    if env is not None:
+        rec = env.get(f"fn:{name}/{len(args)}")
+        if rec is not None:
+            yield from _call_user(rec, args, value, env)
+            return
     if name == "select":
         f = _one_arg("select", args)
         for ok in _eval(f, value, env):
@@ -915,7 +1097,7 @@ def _call(name: str, args: list, value: Any, env: dict[str, Any] | None = None) 
     elif name == "group_by":
         f = _one_arg("group_by", args)
         _need_array(name, value)
-        keyed = [(_first(f, item), item) for item in value]
+        keyed = [(_first(f, item, env), item) for item in value]
         keyed.sort(key=lambda kv: _SortKey(kv[0]))
         groups: list[list[Any]] = []
         last: Any = object()
@@ -933,7 +1115,7 @@ def _call(name: str, args: list, value: Any, env: dict[str, Any] | None = None) 
     elif name == "sort_by":
         f = _one_arg("sort_by", args)
         _need_array(name, value)
-        yield sorted(value, key=lambda item: _SortKey(_first(f, item)))
+        yield sorted(value, key=lambda item: _SortKey(_first(f, item, env)))
     elif name == "unique":
         _no_args(name, args)
         _need_array(name, value)
@@ -941,7 +1123,7 @@ def _call(name: str, args: list, value: Any, env: dict[str, Any] | None = None) 
     elif name == "unique_by":
         f = _one_arg("unique_by", args)
         _need_array(name, value)
-        keyed = sorted(((_first(f, i), i) for i in value),
+        keyed = sorted(((_first(f, i, env), i) for i in value),
                        key=lambda kv: _SortKey(kv[0]))
         out, last = [], object()
         for k, item in keyed:
@@ -971,7 +1153,7 @@ def _call(name: str, args: list, value: Any, env: dict[str, Any] | None = None) 
             yield None
         else:
             pick = min if name == "min_by" else max
-            yield pick(value, key=lambda item: _SortKey(_first(f, item)))
+            yield pick(value, key=lambda item: _SortKey(_first(f, item, env)))
     elif name == "reverse":
         _no_args(name, args)
         if isinstance(value, str):
@@ -1067,6 +1249,9 @@ def _call(name: str, args: list, value: Any, env: dict[str, Any] | None = None) 
         else:
             _need_array(name, value)
             yield comb(_truthy(v) for v in value)
+    elif name == "split" and len(args) == 2:
+        rx, _, _ = _regex_args(name, args, value, env)
+        yield rx.split(value)
     elif name in ("startswith", "endswith", "ltrimstr", "rtrimstr", "split",
                   "join"):
         arg = _const_arg(name, args, value, env)
@@ -1120,6 +1305,59 @@ def _call(name: str, args: list, value: Any, env: dict[str, Any] | None = None) 
             yield json.loads(value)
         except ValueError as e:
             raise JqError(f"fromjson: {e}") from None
+    elif name == "test":
+        rx, _, _ = _regex_args(name, args, value, env)
+        yield rx.search(value) is not None
+    elif name == "match":
+        rx, global_, _ = _regex_args(name, args, value, env)
+        if global_:
+            for m in rx.finditer(value):
+                yield _match_object(m)
+        else:
+            m = rx.search(value)
+            if m is not None:
+                yield _match_object(m)
+    elif name == "capture":
+        rx, global_, _ = _regex_args(name, args, value, env)
+        if global_:
+            for m in rx.finditer(value):
+                yield _capture_object(m)
+        else:
+            m = rx.search(value)
+            if m is not None:
+                yield _capture_object(m)
+    elif name == "scan":
+        rx, _, _ = _regex_args(name, args, value, env)
+        for m in rx.finditer(value):
+            if m.re.groups:
+                yield [m.group(gi) for gi in range(1, m.re.groups + 1)]
+            else:
+                yield m.group(0)
+    elif name == "splits":
+        rx, _, _ = _regex_args(name, args, value, env)
+        yield from rx.split(value)
+    elif name in ("sub", "gsub"):
+        # repl is a jq expression evaluated with the match's CAPTURE
+        # object as input (so "\(.name)" interpolation reaches the named
+        # groups — jq semantics).
+        if not 2 <= len(args) <= 3:
+            raise JqError(f"{name} expects 2 or 3 arguments")
+        rx, _, _ = _regex_args(name, [args[0]] + args[2:], value, env)
+        out, pos = [], 0
+        count = 0
+        for m in rx.finditer(value):
+            if name == "sub" and count >= 1:
+                break
+            reps = list(_eval(args[1], _capture_object(m), env))
+            if len(reps) != 1 or not isinstance(reps[0], str):
+                raise JqError(f"{name}: replacement must produce exactly "
+                              "one string")
+            out.append(value[pos : m.start()])
+            out.append(reps[0])
+            pos = m.end()
+            count += 1
+        out.append(value[pos:])
+        yield "".join(out)
     else:
         raise JqError(
             f"unknown function '{name}' (jqlite subset — see "
@@ -1137,8 +1375,8 @@ def _need_array(name: str, value: Any) -> None:
         raise JqError(f"{name}: array required, got {_type_name(value)}")
 
 
-def _first(node, value: Any) -> Any:
-    for v in _eval(node, value):
+def _first(node, value: Any, env: dict[str, Any] | None = None) -> Any:
+    for v in _eval(node, value, env):
         return v
     return None
 
