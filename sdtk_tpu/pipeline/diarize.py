@@ -48,6 +48,14 @@ class DiarizeConfig:
     min_segment_seconds: float = 0.0
     embed_chunk: int = 128  # windows per device batch (static shape)
     resegment: bool = True  # sticky-HMM Viterbi smoothing of window labels
+    # Sub-window boundary localization (cluster/boundary.py): place ONE
+    # cut per label change — at the interpolated similarity crossing
+    # between the adjacent windows, snapped to a VAD pause when one is
+    # near — instead of letting both windows claim their full span
+    # (which overlaps hypothesis claims by window-hop at every turn).
+    # The r4 oracle measurement identified this quantization as the
+    # dominant collar-0.25 residual; collar 0.75 absorbed it.
+    boundary_refine: bool = True
     merge_tau: float | None = None  # same-speaker merge bar; None = backend's
     detect_overlap: bool = False  # emit secondary-speaker segments
     # Residual-alignment bar: a window is overlapped when, after removing
@@ -259,9 +267,17 @@ class Diarizer:
                 threshold=cfg.overlap_threshold,
                 boundary_windows=cfg.overlap_boundary_windows,
             )
-        segments = labels_to_segments(
-            labels, speech_starts, cfg.window_seconds, prefix="S"
-        )
+        if cfg.boundary_refine:
+            from ..cluster.boundary import refine_segments
+
+            segments = refine_segments(
+                emb, labels, speech_starts, cfg.window_seconds,
+                prefix="S", speech_spans=speech_spans,
+            )
+        else:
+            segments = labels_to_segments(
+                labels, speech_starts, cfg.window_seconds, prefix="S"
+            )
         # Relabel to S1..Sk in order of first appearance (the reference's
         # label convention, e.g. transcripts use S1/S2 — SURVEY.md §2.2).
         order: dict[str, str] = {}

@@ -557,3 +557,62 @@ def test_turn_segmentation_and_counting():
     embp = np.concatenate([windows(a, 5), mid[None, :], windows(b, 5)])
     _, kp = T.turn_cluster(embp, np.arange(len(embp)) * 0.75)
     assert kp == 2
+
+
+def test_boundary_refine_crossing():
+    """cluster/boundary.py: one localized cut per label change — no
+    overlapping claims (the collar-0.25 residual the r4 oracle measured),
+    cut at the interpolated similarity crossing."""
+    from sdtk_tpu.cluster.boundary import refine_segments
+
+    rng = np.random.default_rng(0)
+    d = 16
+    a = rng.standard_normal(d); a /= np.linalg.norm(a)
+    b = rng.standard_normal(d); b -= (b @ a) * a; b /= np.linalg.norm(b)
+    # 5 windows of A, 5 of B, 1.0 s windows at 0.375 s hop; the last A
+    # window is slightly mixed toward B (turn starts inside it)
+    emb = np.stack([a] * 5 + [b] * 5)
+    emb[4] = 0.6 * a + 0.4 * b
+    emb[5] = 0.1 * a + 0.9 * b
+    labels = np.array([0] * 5 + [1] * 5)
+    starts = np.arange(10) * 0.375
+    segs = refine_segments(emb, labels, starts, 1.0)
+    assert len(segs) == 2
+    (s0, e0, l0), (s1, e1, l1) = segs
+    assert l0 == "S00" and l1 == "S01"
+    assert s0 == 0.0 and e1 == starts[-1] + 1.0
+    # exactly one cut, shared, inside the physical overlap of windows 4/5
+    assert e0 == s1
+    assert starts[5] <= e0 <= starts[4] + 1.0
+    # window 4 is already mixed toward B (the turn starts inside it), so
+    # its A-margin is small and the crossing lands EARLIER than the
+    # naive midpoint of the overlap region
+    naive = 0.5 * (starts[5] + starts[4] + 1.0)
+    assert e0 < naive + 1e-9
+
+    # vs labels_to_segments: the old claims overlap by window - hop
+    from sdtk_tpu.cluster.der import labels_to_segments
+
+    old = labels_to_segments(labels, starts, 1.0, prefix="S")
+    assert old[0][1] > old[1][0]  # the quantized overlap being removed
+
+
+def test_boundary_refine_pause_snap_and_gaps():
+    from sdtk_tpu.cluster.boundary import refine_segments
+
+    d = 8
+    a = np.eye(d)[0]; b = np.eye(d)[1]
+    emb = np.stack([a] * 3 + [b] * 3)
+    labels = np.array([0] * 3 + [1] * 3)
+    starts = np.arange(6) * 0.375
+    # a VAD pause at 1.30-1.44 s sits inside the snap radius of the cut
+    spans = [(0.0, 1.30), (1.44, 3.0)]
+    segs = refine_segments(emb, labels, starts, 1.0, speech_spans=spans)
+    assert segs[0][1] == segs[1][0] == pytest.approx(1.37, abs=1e-6)
+
+    # contiguity break (VAD-removed windows) still splits segments
+    starts_gap = np.array([0.0, 0.375, 0.75, 3.0, 3.375, 3.75])
+    segs2 = refine_segments(emb, np.zeros(6, int), starts_gap, 1.0)
+    assert len(segs2) == 2
+    assert segs2[0][1] == pytest.approx(0.75 + 1.0)
+    assert segs2[1][0] == pytest.approx(3.0)
