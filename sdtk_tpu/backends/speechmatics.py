@@ -129,12 +129,19 @@ class SpeechmaticsBackend(EmbeddingBackend):
                          segments=None):
         cfg = self._base_config()
         speakers_cfg = []
+        configured: set[str] = set()
         for profile in candidates:
             idents: list[str] = []
             for rec in profile.get("embeddings", {}).get(self.name, []):
                 if rec.get("external_id"):
                     idents.append(rec["external_id"])
                 idents.extend(rec.get("all_identifiers", []))
+            # de-duplicate (a profile's external_id is usually also its
+            # first all_identifiers entry) BEFORE the 50-identifier API
+            # cap, as the reference does (:425 `list(set(...))[:50]`) —
+            # but order-preserving, so which identifiers survive the cap
+            # is deterministic.
+            idents = list(dict.fromkeys(idents))
             if idents:
                 speakers_cfg.append(
                     {
@@ -142,6 +149,7 @@ class SpeechmaticsBackend(EmbeddingBackend):
                         "speaker_identifiers": idents[:MAX_IDENTIFIERS_PER_SPEAKER],
                     }
                 )
+                configured.add(profile["id"])
         if not speakers_cfg:
             return []
         cfg["transcription_config"]["speaker_diarization_config"] = {
@@ -149,15 +157,41 @@ class SpeechmaticsBackend(EmbeddingBackend):
         }
         result = self._submit_and_fetch(Path(audio_path), cfg)
 
+        # Word items carry the label either at the top level or inside
+        # alternatives[0] (reference :453-462); punctuation items are
+        # skipped.  Only labels we CONFIGURED count as identifications —
+        # the cloud still emits S1/S2/UU for unenrolled voices
+        # (reference :463-466 id_to_speaker membership).
         found: set[str] = set()
-        for item in result.get("results", []):
+        seen: set[str] = set()
+        results = result.get("results", [])
+        for item in results:
+            if item.get("type") != "word":
+                continue
             spk = item.get("speaker") or (
                 item.get("alternatives", [{}])[0].get("speaker")
                 if item.get("alternatives")
                 else None
             )
-            if spk and not spk.startswith(("S", "UU")):
-                found.add(spk)
+            if spk:
+                seen.add(spk)
+                if spk in configured:
+                    found.add(spk)
+        if os.environ.get("SPEAKER_DETECTION_DEBUG"):
+            # the reference's debug dump (:469-478), kept field-for-field
+            # so existing debugging workflows read identically
+            import sys
+
+            cfg_labels = [s["label"] for s in speakers_cfg]
+            print(f"DEBUG: speakers_config labels: {cfg_labels}",
+                  file=sys.stderr)
+            print(f"DEBUG: all speakers found in transcript: {seen}",
+                  file=sys.stderr)
+            print(f"DEBUG: matched to candidates: {found}", file=sys.stderr)
+            print(f"DEBUG: transcript keys: {result.keys()}", file=sys.stderr)
+            print(f"DEBUG: results count: {len(results)}", file=sys.stderr)
+            if results:
+                print(f"DEBUG: first result: {results[0]}", file=sys.stderr)
         # The cloud gives no score: binary confidence (reference :486).
         return [
             {
