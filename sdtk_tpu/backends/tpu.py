@@ -165,6 +165,17 @@ class _EmbedEngine:
         sidecar_cfg = self._load_config_sidecar(self._ckpt_path)
 
         self.cfg = fbank.FrontendConfig(**sidecar_cfg.get("frontend", {}))
+        # Global input-normalization stats from a converted SpeechBrain
+        # checkpoint directory (tools/convert_ecapa.py sidecar
+        # "input_norm": the recipe's InputNormalization glob_mean/std).
+        # Applied after log-mel, before the tower — None for natively
+        # trained checkpoints and sentence-norm recipes.
+        _in = sidecar_cfg.get("input_norm")
+        self._input_norm = (
+            (np.asarray(_in["mean"], np.float32),
+             np.maximum(np.asarray(_in.get("std", 1.0), np.float32), 1e-8))
+            if _in else None
+        )
         self.window_len = int(WINDOW_SECONDS * self.cfg.sample_rate)
         self.hop_len = int(HOP_SECONDS * self.cfg.sample_rate)
         self.max_windows = max_windows
@@ -201,9 +212,13 @@ class _EmbedEngine:
         model = self.model
         frontend_cfg = self.cfg
 
+        input_norm = self._input_norm
+
         def embed_fn(variables, wav_windows, frame_lengths):
             # wav_windows: (W, L); frame_lengths: (W,) valid samples
             feats, mask = fbank.log_mel(wav_windows, frontend_cfg, lengths=frame_lengths)
+            if input_norm is not None:
+                feats = (feats - input_norm[0]) / input_norm[1]
             emb = model.apply(variables, feats, mask=mask)
             # L2 per window
             emb = emb / jnp.maximum(

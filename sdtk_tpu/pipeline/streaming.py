@@ -189,9 +189,21 @@ class OnlineDiarizer:
         order = np.argsort(st.window_starts)
         labels = np.asarray(st.window_labels)[order]
         starts = np.asarray(st.window_starts)[order]
+        if len(st.window_embs) == len(st.window_labels):
+            # sub-window boundary localization (cluster/boundary.py):
+            # one interpolated-similarity cut per label change instead of
+            # overlapping full-window claims — the same collar-0.25 lever
+            # as the offline path (measured in benchmark_streaming --der)
+            from ..cluster.boundary import refine_segments
+
+            emb = np.stack(st.window_embs)[order]
+            raw = refine_segments(
+                emb, labels, starts, self.cfg.window_seconds, prefix="SPK")
+        else:  # pragma: no cover — embs always tracked; safety net
+            raw = labels_to_segments(labels, starts, self.cfg.window_seconds)
         return [
             (s, e, l.replace("SPK0", "S").replace("SPK", "S"))
-            for s, e, l in labels_to_segments(labels, starts, self.cfg.window_seconds)
+            for s, e, l in raw
         ]
 
     def finalize(self, recluster: bool = True) -> dict[str, Any]:
