@@ -277,6 +277,96 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001 — informative, never fatal
         details["h2d_error"] = str(e)[:200]
 
+    # End-to-end FRESH-DATA pipeline (r4 VERDICT #4): decode compressed
+    # audio from disk → resample → window → H2D → embed+cluster, wall
+    # clock over everything.  This is the number the device-resident
+    # headline deliberately excludes: on this tunnel-attached host it is
+    # transport/decode-gated, and publishing it beside the headline and
+    # the roofline projection is the honest protocol.  Corpus: 44.1 kHz
+    # mono MPEG Layer III (libmp3lame encode at setup, NOT timed; decode
+    # via in-process libmpg123 + polyphase resample IS timed).
+    try:
+        if os.environ.get("SDTK_BENCH_E2E", "1") not in ("0", ""):
+            import queue as _q
+            import tempfile
+            import threading
+
+            from sdtk_tpu.utils import audio as _audio
+            from sdtk_tpu.utils import syscodec as _sc
+
+            e2e_batches = int(os.environ.get("SDTK_BENCH_E2E_BATCHES", "2"))
+            file_s, src_sr = 30.0, 44100
+            n_files = max(1, int(np.ceil(
+                e2e_batches * batch * window_s / file_s)))
+            rng_e = np.random.default_rng(7)
+            tmpd = tempfile.mkdtemp(prefix="sdtk_bench_e2e_")
+            paths = []
+            t_src = np.arange(int(file_s * src_sr)) / src_sr
+            for i in range(n_files):
+                x = (0.2 * np.sin(2 * np.pi * (180 + 17 * (i % 9)) * t_src)
+                     + 0.05 * rng_e.standard_normal(len(t_src))
+                     ).astype(np.float32)
+                p = os.path.join(tmpd, f"e2e_{i:04d}.mp3")
+                with open(p, "wb") as f:
+                    f.write(_sc.encode_mp3(x, src_sr, 128))
+                paths.append(p)
+
+            win = n_samples
+            per_file_windows = int(file_s * cfg.sample_rate) // win
+            decoded_q: _q.Queue = _q.Queue(maxsize=4)
+
+            def _decoder():
+                try:
+                    for p in paths:
+                        wav_f, _sr = _audio.load_audio(
+                            p, target_sr=cfg.sample_rate)
+                        k = len(wav_f) // win
+                        decoded_q.put(
+                            wav_f[: k * win].reshape(k, win)
+                            if k else np.zeros((0, win), np.float32))
+                    decoded_q.put(None)
+                except BaseException as exc:  # noqa: BLE001 — relayed
+                    decoded_q.put(exc)
+
+            t0 = time.perf_counter()
+            th = threading.Thread(target=_decoder, daemon=True)
+            th.start()
+            pend: list[np.ndarray] = []
+            pend_rows = 0
+            outs = []
+            processed_windows = 0
+            while True:
+                item = decoded_q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                if item is None:
+                    break
+                pend.append(item)
+                pend_rows += len(item)
+                while pend_rows >= batch:
+                    buf = np.concatenate(pend, axis=0)
+                    take, rest = buf[:batch], buf[batch:]
+                    pend = [rest] if len(rest) else []
+                    pend_rows = len(rest)
+                    outs.append(embed_cluster(jax.device_put(take)))
+                    processed_windows += batch
+            for o in outs:
+                jax.block_until_ready(o)
+            dt_e2e = time.perf_counter() - t0
+            e2e_audio_s = processed_windows * window_s
+            details["e2e_fresh_audio_s_per_s"] = round(e2e_audio_s / dt_e2e, 1)
+            details["e2e_fresh_files"] = n_files
+            details["e2e_fresh_audio_seconds"] = round(e2e_audio_s, 1)
+            details["e2e_fresh_note"] = (
+                "mp3 44.1k decode + resample + H2D + embed+cluster, "
+                f"windows/file={per_file_windows}; tunnel transport — "
+                "PCIe hosts measure higher (docs/PERFORMANCE.md)")
+            for p in paths:
+                os.unlink(p)
+            os.rmdir(tmpd)
+    except Exception as e:  # noqa: BLE001 — informative, never fatal
+        details["e2e_fresh_error"] = str(e)[:200]
+
     sweep_spec = os.environ.get("SDTK_BENCH_SWEEP")
     if sweep_spec:
         sweep = {}
