@@ -171,7 +171,7 @@ def main() -> int:
     # records the measured winner so "Pallas-first" is a number, not a vibe).
     try:
         if jax.devices()[0].platform == "tpu":
-            from sdtk_tpu.ops.fbank import log_mel_fused
+            from sdtk_tpu.ops.research.fbank_frames import log_mel_fused
 
             dt_x = _time_chained(lambda w: fbank.log_mel(w, cfg)[0], wav,
                                  n_iters, jax.block_until_ready)
@@ -189,6 +189,7 @@ def main() -> int:
     try:
         if jax.devices()[0].platform == "tpu":
             from sdtk_tpu.ops import topk as _topk
+            from sdtk_tpu.ops.research import topk_pallas as _topk_pl
 
             n_prof, w_q, d_q = 100_000, 64, 192
             rngp = np.random.default_rng(3)
@@ -221,7 +222,7 @@ def main() -> int:
                 return time.perf_counter() - t0
 
             dt_tp = _time_topk(
-                lambda qq, pp: _topk.identify_topk_pallas(qq, pp, k=64)[0],
+                lambda qq, pp: _topk_pl.identify_topk_pallas(qq, pp, k=64)[0],
                 prof)
             dt_tx = _time_topk(
                 lambda qq, pp: _topk.identify_topk_xla(

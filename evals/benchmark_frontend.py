@@ -4,7 +4,7 @@
 The r3 honest A/B kept the losing frames-based kernel in tree
 (fbank_frames_pallas: 13.4 ms vs XLA 5.5 ms per batch-1024 — it pays for
 the (B, T, 400) framed copy in HBM twice).  r4 adds the waveform-based
-kernel (ops/fbank_wave.py) whose framing never leaves VMEM and whose
+kernel (ops/research/fbank_wave.py) whose framing never leaves VMEM and whose
 preemphasis is folded into the DFT bases; this harness measures all
 three on the same shape and prints one JSON line.
 
@@ -68,7 +68,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from sdtk_tpu.ops import fbank
-    from sdtk_tpu.ops.fbank_wave import log_mel_wave
+    from sdtk_tpu.ops.research.fbank_wave import log_mel_wave
 
     cfg = fbank.FrontendConfig()
     n = int(args.seconds * cfg.sample_rate)
@@ -76,7 +76,7 @@ def main() -> int:
     x = jax.device_put(rng.standard_normal((args.batch, n)).astype(np.float32))
 
     xla_fn = lambda a: fbank.log_mel(a, cfg)[0]
-    frames_fn = lambda a: fbank.log_mel_fused(a, cfg)[0]
+    frames_fn = lambda a: fbank_frames.log_mel_fused(a, cfg)[0]
     wave_fn = lambda a: log_mel_wave(a, cfg, chunk_rows=args.chunk_rows)[0]
 
     # parity spot-check before timing (device numerics, bf16)

@@ -73,6 +73,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from sdtk_tpu.ops import topk
+    from sdtk_tpu.ops.research import topk_pallas
 
     rng = np.random.default_rng(0)
     q = jax.device_put(
@@ -94,7 +95,7 @@ def main() -> int:
         pn = p_raw / np.linalg.norm(p_raw, axis=1, keepdims=True)
         p_norm = jax.device_put(jnp.asarray(pn, jnp.bfloat16))
 
-        pallas_fn = lambda qq, pp: topk.identify_topk_pallas(  # noqa: E731
+        pallas_fn = lambda qq, pp: topk_pallas.identify_topk_pallas(  # noqa: E731
             qq, pp, k=args.k, tile_n=args.tile_n, interpret=None
         )
         xla_fn = lambda qq, pp: topk.identify_topk_xla(  # noqa: E731

@@ -34,8 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import melbank
-from .fbank import FrontendConfig, frame_mask
+from .. import melbank
+from ..fbank import FrontendConfig, frame_mask
 
 
 @lru_cache(maxsize=8)

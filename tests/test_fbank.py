@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 from sdtk_tpu.ops import fbank, melbank
+from sdtk_tpu.ops.research import fbank_frames
 
 CFG32 = fbank.FrontendConfig(compute_dtype="float32")
 
@@ -82,7 +83,7 @@ def jnp_arr(x):
 def test_pallas_fused_matches_reference():
     x = make_signal(16000, seed=3)
     ref = fbank.log_mel_reference(x, CFG32)
-    got, _ = fbank.log_mel_fused(x[None], CFG32)
+    got, _ = fbank_frames.log_mel_fused(x[None], CFG32)
     got = np.asarray(got)[0]
     np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-4)
 
@@ -91,5 +92,5 @@ def test_pallas_ragged_tile():
     # frame count not a multiple of the tile: padding path
     x = make_signal(7000, seed=4)
     ref = fbank.log_mel_reference(x, CFG32)
-    got, _ = fbank.log_mel_fused(x[None], CFG32)
+    got, _ = fbank_frames.log_mel_fused(x[None], CFG32)
     np.testing.assert_allclose(np.asarray(got)[0], ref, atol=2e-3, rtol=1e-4)

@@ -1,4 +1,4 @@
-"""Fused waveform→log-mel Pallas kernel (ops/fbank_wave.py): parity with
+"""Fused waveform→log-mel Pallas kernel (ops/research/fbank_wave.py): parity with
 the XLA path and the NumPy FFT oracle, interpret-mode on CPU."""
 
 from __future__ import annotations
@@ -6,7 +6,7 @@ from __future__ import annotations
 import numpy as np
 
 from sdtk_tpu.ops.fbank import FrontendConfig, log_mel, log_mel_reference
-from sdtk_tpu.ops.fbank_wave import log_mel_wave, preemph_windowed_bases
+from sdtk_tpu.ops.research.fbank_wave import log_mel_wave, preemph_windowed_bases
 
 
 def _sig(b: int, n: int, seed: int = 0) -> np.ndarray:

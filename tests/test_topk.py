@@ -14,6 +14,7 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 from sdtk_tpu.ops import topk  # noqa: E402
+from sdtk_tpu.ops.research import topk_pallas  # noqa: E402
 
 
 def _numpy_ref(q, p, k):
@@ -40,7 +41,7 @@ def test_pallas_matches_xla_and_numpy(w, n, d, k):
     q = rng.standard_normal((w, d)).astype(np.float32)
     p = rng.standard_normal((n, d)).astype(np.float32)
 
-    s_pl, i_pl = topk.identify_topk_pallas(
+    s_pl, i_pl = topk_pallas.identify_topk_pallas(
         jnp.asarray(q), jnp.asarray(p), k=k, interpret=True
     )
     s_xla, i_xla = topk.identify_topk_xla(jnp.asarray(q), jnp.asarray(p), k=k)
@@ -64,7 +65,7 @@ def test_scores_sorted_descending_and_indices_align():
     rng = np.random.default_rng(7)
     q = rng.standard_normal((8, 192)).astype(np.float32)
     p = rng.standard_normal((700, 192)).astype(np.float32)
-    s, i = topk.identify_topk_pallas(
+    s, i = topk_pallas.identify_topk_pallas(
         jnp.asarray(q), jnp.asarray(p), k=5, interpret=True
     )
     s, i = np.asarray(s), np.asarray(i)
@@ -87,7 +88,7 @@ def test_negative_scores_not_displaced_by_padding():
     q = np.tile(base, (3, 1)) + 0.01 * rng.standard_normal((3, 192)).astype(
         np.float32
     )
-    s, i = topk.identify_topk_pallas(
+    s, i = topk_pallas.identify_topk_pallas(
         jnp.asarray(q), jnp.asarray(p), k=4, interpret=True
     )
     s = np.asarray(s)
@@ -99,7 +100,7 @@ def test_bf16_profiles_accepted():
     rng = np.random.default_rng(11)
     q = rng.standard_normal((6, 192)).astype(np.float32)
     p = rng.standard_normal((512, 192)).astype(np.float32)
-    s16, i16 = topk.identify_topk_pallas(
+    s16, i16 = topk_pallas.identify_topk_pallas(
         jnp.asarray(q), jnp.asarray(p, dtype=jnp.bfloat16), k=8, interpret=True
     )
     s_np, _ = _numpy_ref(q, p, 8)
@@ -112,10 +113,10 @@ def test_k_above_kernel_cap_falls_back():
     rng = np.random.default_rng(5)
     q = rng.standard_normal((4, 192)).astype(np.float32)
     p = rng.standard_normal((400, 192)).astype(np.float32)
-    s, i = topk.identify_topk_pallas(
-        jnp.asarray(q), jnp.asarray(p), k=topk.MAX_KERNEL_K + 50, interpret=True
+    s, i = topk_pallas.identify_topk_pallas(
+        jnp.asarray(q), jnp.asarray(p), k=topk_pallas.MAX_KERNEL_K + 50, interpret=True
     )
-    s_np, i_np = _numpy_ref(q, p, topk.MAX_KERNEL_K + 50)
+    s_np, i_np = _numpy_ref(q, p, topk_pallas.MAX_KERNEL_K + 50)
     np.testing.assert_allclose(
         np.sort(np.asarray(s)), np.sort(s_np), rtol=0, atol=2e-3
     )
