@@ -114,6 +114,11 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default=str(REPO_ROOT / "models" / "vad.msgpack"))
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--arch", default="v4", choices=["v3", "v4"],
+                    help="v4 (default): derived flatness/flux channels + "
+                         "a dilation-8 third conv (~410 ms receptive "
+                         "field, sees syllabic rhythm); v3: the r4 "
+                         "two-conv graph for A/B")
     ap.add_argument("--pos-weight", type=float, default=2.0,
                     help="BCE weight on speech frames: a missed speech "
                          "frame clips real words out of segments (turn "
@@ -135,7 +140,9 @@ def main() -> int:
     from sdtk_tpu.ops import fbank
 
     fcfg = fbank.FrontendConfig()
-    model = VadNet(VadConfig(n_mels=fcfg.n_mels))
+    vcfg = VadConfig(n_mels=fcfg.n_mels, deep=args.arch == "v4",
+                     extra_feats=args.arch == "v4")
+    model = VadNet(vcfg)
     rng = np.random.default_rng(args.seed)
 
     feats0, _ = fbank.log_mel(jnp.zeros((2, N)), fcfg)

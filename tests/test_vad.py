@@ -132,3 +132,28 @@ def test_diarizer_vad_modes():
         max(0.0, min(e, 7.0) - max(s, 4.0)) for s, e, _ in res["segments"])
     assert covered(res_trained) < covered(res_energy), (
         covered(res_trained), covered(res_energy))
+
+
+def test_v4_flax_numpy_parity(tmp_path):
+    """The v4 graph (derived flatness/flux channels + dilation-8 conv3)
+    must serve identically through the NumPy path, including the
+    in-model feature derivation."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdtk_tpu.models.vad import VadConfig, VadNet, VadScorer, save_params
+
+    cfg = VadConfig(n_mels=24, deep=True, extra_feats=True)
+    model = VadNet(cfg)
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((1, 60, 24)).astype(np.float32) * 3.0
+    params = model.init(jax.random.PRNGKey(1), jnp.asarray(feats))
+    p = tmp_path / "vad4.msgpack"
+    save_params(params, p)
+    want = np.asarray(
+        jax.nn.sigmoid(model.apply(params, jnp.asarray(feats))))[0]
+    scorer = VadScorer(p, VadConfig(n_mels=24, deep=True,
+                                    extra_feats=True))
+    assert scorer.extra_feats and scorer.w3 is not None
+    got = scorer.frame_probs(feats[0])
+    np.testing.assert_allclose(got, want, atol=2e-5)
