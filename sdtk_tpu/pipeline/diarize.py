@@ -48,6 +48,14 @@ class DiarizeConfig:
     min_segment_seconds: float = 0.0
     embed_chunk: int = 128  # windows per device batch (static shape)
     resegment: bool = True  # sticky-HMM Viterbi smoothing of window labels
+    # Meeting-adaptive bed suppression (pipeline/denoise.py): when the
+    # trained VAD exposes ≥1.5 s of bed-only audio within 30 dB of the
+    # speech level, the bed's median spectrum (estimated from those very
+    # regions) is Wiener-subtracted before embedding.  Self-gating: on
+    # clean/reverb/telephone meetings the non-speech regions are
+    # near-silence and the pass is a measured no-op.  "auto" = on for
+    # the offline pipeline; streaming never uses it (non-causal).
+    denoise: str = "auto"  # "auto" | "off"
     # Sub-window boundary localization (cluster/boundary.py): place ONE
     # cut per label change — at the interpolated similarity crossing
     # between the adjacent windows, snapped to a VAD pause when one is
@@ -226,6 +234,13 @@ class Diarizer:
         speech_starts = starts[keep]
         if len(speech_starts) == 0:
             return {"segments": [], "n_speakers": 0, "window_labels": []}
+
+        if cfg.denoise == "auto" and speech_spans:
+            from .denoise import estimate_and_subtract
+
+            with stage("diarize.denoise"):
+                wav = estimate_and_subtract(
+                    wav, cfg.sample_rate, speech_spans)
 
         with stage("diarize.embed"):
             emb = self._embed_windows(wav, speech_starts)

@@ -416,3 +416,36 @@ def test_cross_backend_agreement_signal(speakers_dir, tmp_path, monkeypatch):
     assert m["speaker_id"] == "alice"
     types = {s["type"] for s in m["signals"]}
     assert "cross_backend_agreement" in types, m["signals"]
+
+
+def test_bed_denoise_suppresses_stationary_bed():
+    """pipeline/denoise.py: Wiener subtraction from VAD-located bed-only
+    regions kills a stationary tonal bed while self-gating to a no-op on
+    near-silent gaps (clean-tier safety)."""
+    from sdtk_tpu.pipeline.denoise import estimate_and_subtract
+
+    sr = 16000
+    t = np.arange(8 * sr) / sr
+    bed = 0.2 * np.sin(2 * np.pi * 523.0 * t) + 0.1 * np.sin(
+        2 * np.pi * 784.0 * t)
+    rng = np.random.default_rng(0)
+    speech = np.zeros_like(t)
+    seg = slice(2 * sr, 6 * sr)
+    speech[seg] = 0.5 * rng.standard_normal(4 * sr)  # broadband "speech"
+    mix = (bed + speech).astype(np.float32)
+    spans = [(2.0, 6.0)]
+    out = estimate_and_subtract(mix, sr, spans)
+    assert out.shape == mix.shape
+    # bed-only region: most of the energy removed
+    bed_before = float(np.mean(mix[: 2 * sr] ** 2))
+    bed_after = float(np.mean(out[: 2 * sr] ** 2))
+    assert bed_after < 0.1 * bed_before
+    # speech region keeps the broadband component (energy within 3 dB)
+    sp_before = float(np.mean(mix[seg] ** 2))
+    sp_after = float(np.mean(out[seg] ** 2))
+    assert sp_after > 0.5 * sp_before
+
+    # silence gaps → identity (the clean-tier gate)
+    quiet = speech.astype(np.float32)
+    out2 = estimate_and_subtract(quiet, sr, spans)
+    np.testing.assert_array_equal(out2, quiet)
