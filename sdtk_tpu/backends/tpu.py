@@ -26,13 +26,21 @@ HOP_SECONDS = 1.5
 class TpuBackend(LocalEmbeddingBackend):
     def __init__(
         self,
-        model: str = "ecapa",
+        model: str | None = None,
         channels: int = 512,
         max_windows: int = 16,
         params_path: str | Path | None = None,
         seed: int = 0,
     ):
-        self._model_name = model
+        import os as _os
+
+        # $SDTK_BACKEND_TOWER selects the embedding tower family for the
+        # registry-constructed backend (ecapa | xvector | conformer) —
+        # the A/B knob that makes the secondary towers reachable from
+        # every CLI/benchmark without code changes (the checkpoint
+        # resolves to models/<tower>.msgpack automatically).
+        self._model_name = model or _os.environ.get(
+            "SDTK_BACKEND_TOWER", "ecapa")
         self._channels = channels
         self._max_windows = max_windows
         self._seed = seed

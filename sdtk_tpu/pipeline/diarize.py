@@ -219,12 +219,13 @@ class Diarizer:
                 from .vad import trained_vad_available
 
                 use_trained = trained_vad_available()
+            vad_grid = None
             if use_trained:
                 from .vad import trained_vad_analysis
 
-                starts, keep, speech_spans = trained_vad_analysis(
+                starts, keep, speech_spans, vad_grid = trained_vad_analysis(
                     wav, cfg.sample_rate, cfg.window_seconds,
-                    cfg.hop_seconds,
+                    cfg.hop_seconds, return_grid=True,
                 )
             else:
                 starts, keep = energy_vad_mask(
@@ -240,7 +241,8 @@ class Diarizer:
 
             with stage("diarize.denoise"):
                 wav = estimate_and_subtract(
-                    wav, cfg.sample_rate, speech_spans)
+                    wav, cfg.sample_rate, speech_spans,
+                    frame_probs=vad_grid)
 
         with stage("diarize.embed"):
             emb = self._embed_windows(wav, speech_starts)

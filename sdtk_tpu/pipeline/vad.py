@@ -151,12 +151,16 @@ def speech_intervals(
 
 def trained_vad_analysis(
     wav: np.ndarray, sr: int, window: float, hop: float,
-    params_path: str | None = None,
-) -> tuple[np.ndarray, np.ndarray, list[tuple[float, float]]]:
+    params_path: str | None = None, return_grid: bool = False,
+):
     """One scoring pass → (window starts_sec, keep mask, 10 ms speech
-    intervals).  The Diarizer's trained-VAD entry point: gates windows
-    AND supplies the frame-level intervals its segments are clipped to,
-    without scoring the recording twice."""
+    intervals[, (frame_period, prob_grid)]).  The Diarizer's trained-VAD
+    entry point: gates windows AND supplies the frame-level intervals
+    its segments are clipped to, without scoring the recording twice.
+    ``return_grid`` additionally exposes the RAW 10 ms probability track
+    (no padding/bridging) — the bed-spectrum estimator
+    (pipeline/denoise.py) needs the unpadded non-speech frames, which
+    the merged intervals deliberately swallow."""
     scorer = _get_scorer(params_path)
     win_n, hop_n = int(window * sr), int(hop * sr)
     n = len(wav)
@@ -178,8 +182,12 @@ def trained_vad_analysis(
         # on the strength of a model that has already disclaimed the
         # input.
         keep[:] = True
+        if return_grid:
+            return starts / sr, keep, None, (period, grid)
         return starts / sr, keep, None
     intervals = _intervals_from_grid(grid, period, len(wav) / sr)
+    if return_grid:
+        return starts / sr, keep, intervals, (period, grid)
     return starts / sr, keep, intervals
 
 
