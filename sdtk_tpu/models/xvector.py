@@ -4,6 +4,12 @@ Classic x-vector topology (Snyder et al.; see also Deep Speaker in
 PAPERS.md): 5 frame-level TDNN layers with growing receptive field →
 statistics pooling → segment-level dense layers; the first segment layer
 is the embedding.  Mask-aware like the ECAPA tower.
+
+Status (r5): a WORKING serving tier — trained on the full fam5tel
+recipe (12k steps, 5 families), bundled as ``models/xvector.msgpack``
+with a measured calibration sidecar; held-out EER 1.04% clean / 1.01%
+telephone / 1.94% noise (docs/PERFORMANCE.md "Secondary towers").
+Select it everywhere with ``SDTK_BACKEND_TOWER=xvector``.
 """
 
 from __future__ import annotations
